@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loader for the driver-provided synthetic parquet tables
+  * (see /root/repo/TESTDATA.md). One parquet file per table under the
+  * scale-factor directory handed to every query.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as a
+    * long (spark.sql.legacy.parquet.nanosAsLong=true — set in every session
+    * we build). Normalize to a proper TimestampType (µs precision, UTC) so
+    * downstream queries and the DuckDB oracle agree.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => df
+    }
+  }
+
+  /** Session config every entry point needs (nanos timestamps + local-mode
+    * sane shuffle parallelism are set by the callers; these are the
+    * semantics-critical ones).
+    */
+  val sessionConfigs: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.adaptive.enabled" -> "true")
+}

@@ -1,0 +1,15 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Union of all query providers. Add each new provider object here. */
+object Registry {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def providers: Seq[(Map[String, Q], Map[String, String])] = Seq(
+    (Relational.queries, Relational.oracleSql)
+  )
+
+  def queries: Map[String, Q] = providers.map(_._1).reduce(_ ++ _)
+  def oracleSql: Map[String, String] = providers.map(_._2).reduce(_ ++ _)
+}

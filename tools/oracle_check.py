@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle compare.
+
+Usage: oracle_check.py <verify_out_dir> <sf_dir>
+
+Reads each <name>/ parquet written by graft.Verify, runs the matching SQL
+from oracle_sql.json in DuckDB against the sf parquet tables, and compares:
+row count, column names (sorted), and a hash of all values (columns sorted
+by name, rows sorted canonically) — strictest plausible interpretation of
+the driver's check.
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # canonical row order: sort by all columns stringified
+    if len(df) > 0:
+        key = df.astype(str).agg("|".join, axis=1)
+        df = df.iloc[key.argsort(kind="stable")].reset_index(drop=True)
+    return df
+
+def cell(v):
+    if isinstance(v, float):
+        return f"{v:.6g}"
+    return str(v)
+
+def table_hash(df: pd.DataFrame) -> str:
+    import hashlib
+    h = hashlib.md5()
+    for row in df.itertuples(index=False):
+        h.update(("|".join(cell(v) for v in row) + "\n").encode())
+    return h.hexdigest()
+
+def main(outdir, sfdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    names = sorted(d for d in os.listdir(outdir)
+                   if os.path.isdir(f"{outdir}/{d}"))
+    n_pass = n_fail = n_rowsonly = 0
+    for name in names:
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL  {name}: no parquet output"); n_fail += 1; continue
+        got = pd.concat([pd.read_parquet(f) for f in sorted(files)])
+        if name not in oracle:
+            status = "ROWS " if len(got) > 0 else "FAIL "
+            print(f"{status} {name}: rows={len(got)} (no oracle)")
+            n_rowsonly += 1 if len(got) > 0 else 0
+            n_fail += 0 if len(got) > 0 else 1
+            continue
+        try:
+            exp = con.sql(oracle[name]).df()
+        except Exception as e:
+            print(f"FAIL  {name}: oracle error {e}"); n_fail += 1; continue
+        g, e = canon(got), canon(exp)
+        if list(g.columns) != list(e.columns):
+            print(f"FAIL  {name}: cols {list(g.columns)} vs {list(e.columns)}")
+            n_fail += 1; continue
+        if len(g) != len(e):
+            print(f"FAIL  {name}: rows {len(g)} vs {len(e)}"); n_fail += 1; continue
+        hg, he = table_hash(g), table_hash(e)
+        if hg != he:
+            print(f"FAIL  {name}: hash mismatch")
+            diff = (g.astype(str) != e.astype(str))
+            idx = diff.any(axis=1)
+            print("  spark:", g[idx].head(3).to_dict("records"))
+            print("  duckdb:", e[idx].head(3).to_dict("records"))
+            n_fail += 1; continue
+        print(f"PASS  {name}: rows={len(g)}"); n_pass += 1
+    print(f"\n{n_pass} pass, {n_rowsonly} rows-only, {n_fail} fail / {len(names)} queries")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
