@@ -1,0 +1,85 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+
+import graft.Tables
+import graft.graph.PropertyGraph
+import graft.ingest.GeoJsonIngest
+import graft.route.Route
+import graft.spatial.Spatial
+import graft.store.GraphPackage
+
+/** CLI parity with the reference's `entwiner INFILES... OUTFILE` command
+  * (`cli.py:8-53`), plus query subcommands for the stored package.
+  *
+  * Usage:
+  *   build <out.graft> <infile.geojson...> [--precision P] [--changes-sign col,col]
+  *   stats <pkg>
+  *   dwithin <pkg> <lon> <lat> <meters>
+  *   route <pkg> <u> <v> [weightCol]
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val spark = session()
+    try run(spark, args.toList)
+    finally spark.stop()
+  }
+
+  private[cli] def run(spark: SparkSession, args: List[String]): Unit = args match {
+    case "build" :: out :: rest if rest.nonEmpty =>
+      var precision = 7
+      var changesSign: Seq[String] = Nil
+      val infiles = scala.collection.mutable.ListBuffer[String]()
+      var r = rest
+      while (r.nonEmpty) r match {
+        case "--precision" :: v :: tail => precision = v.toInt; r = tail
+        case "--changes-sign" :: v :: tail => changesSign = v.split(",").toSeq; r = tail
+        case f :: tail => infiles += f; r = tail
+      }
+      val opts = GeoJsonIngest.Options(precision, changesSign)
+      val g = PropertyGraph.fromGeoJson(spark, infiles.toSeq, opts)
+      GraphPackage.save(g, out)
+      println(s"built $out: ${g.size()} edges, ${g.order()} nodes from ${infiles.size} file(s)")
+
+    case "stats" :: pkg :: Nil =>
+      val g = GraphPackage.load(spark, pkg)
+      println(s"edges=${g.size()} nodes=${g.order()}")
+
+    case "dwithin" :: pkg :: lon :: lat :: dist :: Nil =>
+      val g = GraphPackage.load(spark, pkg)
+      val res = Spatial.dwithin(g.edges, lon.toDouble, lat.toDouble, dist.toDouble, sort = true)
+      res.select("_u", "_v", "_distance").show(50, truncate = false)
+
+    case "route" :: pkg :: u :: v :: rest =>
+      val weight = rest.headOption.getOrElse("_length")
+      val g = GraphPackage.load(spark, pkg)
+      Route.shortestPath(g, u, v, weight) match {
+        case Some((path, cost)) =>
+          println(f"cost=$cost%.2f")
+          path.foreach(println)
+        case None => println("no path")
+      }
+
+    case _ =>
+      System.err.println(
+        """usage:
+          |  build <out.graft> <infile.geojson...> [--precision P] [--changes-sign c1,c2]
+          |  stats <pkg>
+          |  dwithin <pkg> <lon> <lat> <meters>
+          |  route <pkg> <u> <v> [weightCol]""".stripMargin)
+      sys.exit(2)
+  }
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
+    val b = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+    Tables.sessionConfigs.foreach { case (k, v) => b.config(k, v) }
+    val s = b.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,175 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.geo.GeoFunctions
+
+/** A directed property graph as two DataFrames — the Spark-native
+  * equivalent of the reference's `GeoPackageNetwork` + `DiGraphDB`
+  * (`geopackagenetwork/__init__.py:9-85`,
+  * `graphs/digraphdb/__init__.py:16-167`).
+  *
+  * Invariants (maintained by construction, as in the reference):
+  *  - `edges(_u, _v)` unique — upserts are last-wins on that key
+  *    (`feature_table.py:601-613`);
+  *  - `nodes(_n)` unique, derived from edge endpoints
+  *    (`edge_table.py:5-33`).
+  *
+  * All accessors are lazy DataFrames: point lookups become pushed-down
+  * predicates on parquet (key-sorted layout → row-group pruning does the
+  * B-tree index's job, SURVEY §4); bulk/traversal workloads get the whole
+  * adjacency as a distributed join/aggregation instead of the reference's
+  * SQL-query-per-node protocol (`outer_adjlists.py`/`inner_adjlists.py`).
+  */
+class PropertyGraph(val nodes: DataFrame, val edges: DataFrame) {
+
+  // ---- point lookups (P1-P3) ----
+  /** Edge attributes for (u,v) (ref `edge_table.py:136-145`). */
+  def getEdge(u: String, v: String): DataFrame =
+    edges.filter(col("_u") === u && col("_v") === v)
+
+  /** Node attributes (ref `node_table.py:13-25`). */
+  def getNode(n: String): DataFrame = nodes.filter(col("_n") === n)
+
+  /** Membership (ref `geopackagenetwork/__init__.py:87-99`). */
+  def hasNode(n: String): Boolean = !getNode(n).isEmpty
+
+  def hasEdge(u: String, v: String): Boolean = !getEdge(u, v).isEmpty
+
+  // ---- adjacency (P4/P5) ----
+  /** Out-edges of n as (v, attrs) rows (ref `edge_table.py:83-93`). */
+  def successors(n: String): DataFrame = edges.filter(col("_u") === n)
+
+  /** In-edges of n (ref `edge_table.py:95-102`). */
+  def predecessors(n: String): DataFrame = edges.filter(col("_v") === n)
+
+  /** Distinct successor node ids; whole-graph when n is None
+    * (ref `edge_table.py:59-81`).
+    */
+  def successorNodes(n: Option[String] = None): DataFrame = {
+    val base = n.map(x => edges.filter(col("_u") === x)).getOrElse(edges)
+    base.select(col("_v").as("_n")).distinct()
+  }
+
+  def predecessorNodes(n: Option[String] = None): DataFrame = {
+    val base = n.map(x => edges.filter(col("_v") === x)).getOrElse(edges)
+    base.select(col("_u").as("_n")).distinct()
+  }
+
+  // ---- aggregates (A1-A3) ----
+  /** Node / edge counts (ref `feature_table.py:615-619`). */
+  def order(): Long = nodes.count()
+  def size(): Long = edges.count()
+
+  /** Sum of a weight column over all edges, or edge count when absent
+    * (nx `size(weight)`, ref `graphs/digraphdb/__init__.py:62-66`).
+    */
+  def size(weight: String): Double =
+    edges.agg(sum(col(weight))).head.getDouble(0)
+
+  /** Out-degree of one node — the documented intent of the reference's
+    * `unique_successors` (whose own WHERE clause self-counts `_u`, a latent
+    * bug per SURVEY §2.3 A2; we implement COUNT(DISTINCT _v)).
+    */
+  def uniqueSuccessors(n: String): Long =
+    successors(n).select("_v").distinct().count()
+
+  def uniquePredecessors(n: String): Long =
+    predecessors(n).select("_u").distinct().count()
+
+  /** All out-degrees in one pass — the scale-correct form of per-node
+    * degree queries: single shuffle, partial aggregation map-side.
+    */
+  def outDegrees: DataFrame =
+    edges.groupBy("_u").agg(countDistinct("_v").as("out_degree"))
+
+  def inDegrees: DataFrame =
+    edges.groupBy("_v").agg(countDistinct("_u").as("in_degree"))
+
+  // ---- iteration (S11/S12) ----
+  /** (u, v, attrs) projection (ref `graphs/digraphdb/__init__.py:68-82`). */
+  def iterEdges(): Iterator[Row] = {
+    import scala.jdk.CollectionConverters._
+    edges.toLocalIterator().asScala
+  }
+
+  // ---- write path (S5/S7/M1-M3) ----
+  /** Upsert edges with last-wins semantics on (_u,_v)
+    * (ref REPLACE INTO, `feature_table.py:601-613`): the new batch beats
+    * existing rows (batch-granularity last-wins — a DataFrame has no
+    * intra-batch row order to honor). Schema evolution =
+    * unionByName(allowMissingColumns) — the reference's incremental
+    * ALTER TABLE (`feature_table.py:475-496`).
+    */
+  def addEdges(newEdges: DataFrame): PropertyGraph = {
+    val old = edges.withColumn("_gen", lit(0L))
+    val add = newEdges.withColumn("_gen", lit(1L))
+    val all = old.unionByName(add, allowMissingColumns = true)
+    val w = Window.partitionBy("_u", "_v").orderBy(col("_gen").desc)
+    val merged = all
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_gen")
+    val mergedNodes =
+      if (newEdges.columns.contains("geom"))
+        nodes.unionByName(graft.ingest.GeoJsonIngest.deriveNodes(newEdges),
+          allowMissingColumns = true).dropDuplicates("_n")
+      else nodes
+    new PropertyGraph(mergedNodes, merged)
+  }
+
+  /** Batch update of edge attributes by key — read-modify-write join
+    * (ref `update_batch`/`EdgeTable.update`, `feature_table.py:237-263`,
+    * `edge_table.py:39-57`). `updates` carries (_u, _v, <cols to set>);
+    * unmentioned columns keep their value, new columns are added (the
+    * reference's auto-ALTER).
+    */
+  def updateEdges(updates: DataFrame): PropertyGraph = {
+    val updCols = updates.columns.filterNot(c => c == "_u" || c == "_v")
+    val renamed = updCols.foldLeft(updates)((d, c) => d.withColumnRenamed(c, s"_upd_$c"))
+    val joined = edges.join(renamed, Seq("_u", "_v"), "left")
+    val out = updCols.foldLeft(joined) { (d, c) =>
+      if (edges.columns.contains(c))
+        d.withColumn(c, coalesce(col(s"_upd_$c"), col(c)))
+      else d.withColumn(c, col(s"_upd_$c"))
+    }
+    new PropertyGraph(nodes, out.drop(updCols.map(c => s"_upd_$c"): _*))
+  }
+
+  // ---- memory/promotion (S10) ----
+  /** Pin both tables in executor memory (ref `to_in_memory`,
+    * `graphs/digraphdb/__init__.py:88-93`).
+    */
+  def toInMemory(): PropertyGraph = {
+    nodes.persist(StorageLevel.MEMORY_AND_DISK)
+    edges.persist(StorageLevel.MEMORY_AND_DISK)
+    this
+  }
+
+  /** Read-only facade (ref `DiGraphDBView`,
+    * `graphs/digraphdb/__init__.py:16-93`): exposes no write methods at the
+    * type level instead of raising ImmutableGraphError at runtime.
+    */
+  def view: PropertyGraphView = new PropertyGraphView(nodes, edges)
+}
+
+/** Immutable view: same read surface, no write methods (ref M5). */
+final class PropertyGraphView(nodes: DataFrame, edges: DataFrame)
+    extends PropertyGraph(nodes, edges) {
+  override def addEdges(newEdges: DataFrame): PropertyGraph =
+    throw new UnsupportedOperationException("immutable graph view")
+  override def updateEdges(updates: DataFrame): PropertyGraph =
+    throw new UnsupportedOperationException("immutable graph view")
+}
+
+object PropertyGraph {
+  /** Build from GeoJSON paths (ref build pipeline `build.py:24-61`). */
+  def fromGeoJson(spark: org.apache.spark.sql.SparkSession, paths: Seq[String],
+      opts: graft.ingest.GeoJsonIngest.Options = graft.ingest.GeoJsonIngest.Options()): PropertyGraph = {
+    val e = graft.ingest.GeoJsonIngest.readEdges(spark, paths, opts)
+    new PropertyGraph(graft.ingest.GeoJsonIngest.deriveNodes(e), e)
+  }
+}

@@ -1,0 +1,128 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, NumericType, StructType}
+
+import graft.geo.GeoFunctions
+
+/** GeoJSON FeatureCollection → canonical edges/nodes DataFrames.
+  *
+  * Spark-native re-expression of the reference ingest pipeline
+  * (`io.py:10-54`, `build.py:24-61`, `edge_table.py:5-33`):
+  *  - one declarative plan per build: read → explode → filter LineString →
+  *    derive ids/length → union reverse edges; Catalyst fuses it all into
+  *    scan+project stages (vs the reference's per-row generator + SQLite
+  *    upserts);
+  *  - dynamic schema comes free from JSON inference (the reference's
+  *    incremental `ALTER TABLE`, `feature_table.py:475-496`);
+  *  - nodes are a projection of edge endpoints (`edge_table.py:5-33`), not a
+  *    second pass over the input.
+  */
+object GeoJsonIngest {
+
+  /** @param precision   node-id rounding decimals (ref `cli.py:11`, default 7)
+    * @param changesSign numeric property columns negated on the reverse edge
+    *                    (ref `cli.py:12`, `io.py:47-49`)
+    * @param assignFids  reproduce the reference's insertion-order fid
+    *                    (`feature_table.py:94`). Requires a global
+    *                    row_number — fine for build-time parity, switchable
+    *                    off at 100 TB where a surrogate isn't needed.
+    */
+  case class Options(
+      precision: Int = 7,
+      changesSign: Seq[String] = Nil,
+      assignFids: Boolean = true)
+
+  /** Read one or more GeoJSON files into the canonical edges DataFrame:
+    * `_u, _v, geom(type, coordinates), _layer, _length, <properties...>[, fid]`
+    * with a reverse edge per input LineString (ref `io.py:42-50`).
+    */
+  def readEdges(spark: SparkSession, paths: Seq[String], opts: Options = Options()): DataFrame = {
+    val raw = spark.read.option("multiLine", value = true).json(paths: _*)
+    require(raw.schema.fieldNames.contains("features"),
+      s"not a GeoJSON FeatureCollection: $paths")
+
+    val layer = regexp_replace(
+      element_at(split(input_file_name(), "/"), -1), "\\.[^.]*$", "")
+
+    val feats = raw
+      .select(layer.as("_layer"), posexplode(col("features")).as(Seq("pos", "f")))
+      .filter(col("f.geometry.type") === "LineString")
+
+    val coords = col("f.geometry.coordinates").cast(ArrayType(ArrayType(DoubleType)))
+
+    // properties.* flattened; empty/missing properties object → no columns
+    val propFields: Seq[String] = raw.schema("features").dataType match {
+      case ArrayType(s: StructType, _) =>
+        s.fields.find(_.name == "properties") match {
+          case Some(f) => f.dataType match {
+            case p: StructType => p.fieldNames.toSeq
+            case _ => Nil
+          }
+          case None => Nil
+        }
+      case _ => Nil
+    }
+    // reference drops None-valued props per-feature (io.py:16-19); columnar
+    // NULLs carry the same semantics.
+    val propCols = propFields.map(n => col(s"f.properties.`$n`").as(n))
+
+    val base = feats.select(
+      Seq(
+        col("_layer"), col("pos"),
+        coords.as("coordinates"),
+        GeoFunctions.nodeId(element_at(coords, 1).getItem(0),
+          element_at(coords, 1).getItem(1), opts.precision).as("_u"),
+        GeoFunctions.nodeId(element_at(coords, -1).getItem(0),
+          element_at(coords, -1).getItem(1), opts.precision).as("_v")
+      ) ++ propCols: _*)
+
+    // insertion-order index over LineString features (per build, matching
+    // the reference's sequential file processing: order by layer then pos)
+    val indexed =
+      if (opts.assignFids)
+        base.withColumn("fidx",
+          row_number().over(Window.orderBy("_layer", "pos")))
+      else base
+
+    def signFlip(name: String, c: Column, reverse: Boolean): Column =
+      if (reverse && opts.changesSign.contains(name)) (-c).as(name) else c.as(name)
+
+    def side(reverse: Boolean): DataFrame = {
+      val cs = if (reverse) reverse_(col("coordinates")) else col("coordinates")
+      val u = if (reverse) col("_v") else col("_u")
+      val v = if (reverse) col("_u") else col("_v")
+      val fid =
+        if (opts.assignFids)
+          Seq(((col("fidx") * 2) - (if (reverse) lit(0) else lit(1))).cast("long").as("fid"))
+        else Nil
+      indexed.select(
+        Seq(
+          u.as("_u"), v.as("_v"),
+          struct(lit("LineString").as("type"), cs.as("coordinates")).as("geom"),
+          col("_layer"),
+          GeoFunctions.lineLengthMeters(cs).as("_length")
+        ) ++ propFields.map(n => signFlip(n, col(s"`$n`"), reverse)) ++ fid: _*)
+    }
+
+    side(reverse = false).unionByName(side(reverse = true))
+  }
+
+  private def reverse_(c: Column): Column = reverse(c)
+
+  /** Node table from edge endpoints (ref `edge_table.py:5-33`): distinct
+    * `_n` with a Point geometry; one shuffle (the dropDuplicates).
+    */
+  def deriveNodes(edges: DataFrame): DataFrame = {
+    val cs = col("geom.coordinates")
+    edges
+      .select(explode(array(
+        struct(col("_u").as("_n"), element_at(cs, 1).as("coordinates")),
+        struct(col("_v").as("_n"), element_at(cs, -1).as("coordinates")))).as("n"))
+      .select(col("n._n").as("_n"),
+        struct(lit("Point").as("type"), col("n.coordinates").as("coordinates")).as("geom"))
+      .dropDuplicates("_n")
+  }
+}

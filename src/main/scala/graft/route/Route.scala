@@ -1,0 +1,114 @@
+package graft.route
+
+import org.apache.spark.graphx.{Edge => GXEdge, Graph => GXGraph, VertexId}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.graph.PropertyGraph
+
+/** Routing analytics on GraphX — the distributed replacement for the
+  * reference's "stock networkx over lazy SQL Mappings" protocol
+  * (`graphs/digraphdb/__init__.py:16-167`, `README.md:59-74`).
+  *
+  * The reference runs Dijkstra one SQLite query per visited node; here the
+  * whole graph is loaded once into GraphX and weighted SSSP runs as a
+  * Pregel program (superstep = one distributed message round). GraphX's
+  * `lib.ShortestPaths` is hop-count only, so the weighted program is
+  * custom (~40 lines), carrying (distance, predecessor) per vertex for
+  * path reconstruction — parity with `nx.dijkstra_path`.
+  *
+  * Vertex ids: string node ids are hashed to Long via xxhash64.
+  * `fromPropertyGraph` verifies the hash is collision-free on the actual
+  * node set (count(distinct id) == count(distinct _n)) — the safe choice at
+  * 100 TB (SURVEY §7.4) versus zipWithUniqueId's nondeterminism.
+  */
+object Route {
+
+  case class RoutingGraph(
+      graph: GXGraph[String, Double],
+      idOf: DataFrame /* _n, _vid */)
+
+  /** Build a GraphX graph from a PropertyGraph using `weightCol` (must be
+    * non-negative; rows with null weight are dropped, as networkx treats
+    * missing weights as infinite for routing purposes).
+    */
+  def fromPropertyGraph(g: PropertyGraph, weightCol: String): RoutingGraph = {
+    val idOf = g.nodes.select(col("_n"), xxhash64(col("_n")).as("_vid"))
+    val nN = idOf.select(countDistinct("_n"), countDistinct("_vid")).head
+    require(nN.getLong(0) == nN.getLong(1),
+      s"xxhash64 collision on node ids (${nN.getLong(0)} nodes, ${nN.getLong(1)} distinct hashes)")
+
+    val vertices = idOf.select(col("_vid"), col("_n"))
+      .rdd.map(r => (r.getLong(0), r.getString(1)))
+    val edges = g.edges
+      .filter(col(weightCol).isNotNull)
+      .select(xxhash64(col("_u")).as("src"), xxhash64(col("_v")).as("dst"),
+        col(weightCol).cast("double").as("w"))
+      .rdd.map(r => GXEdge(r.getLong(0), r.getLong(1), r.getDouble(2)))
+    RoutingGraph(GXGraph(vertices, edges), idOf)
+  }
+
+  /** Weighted single-source shortest paths via Pregel.
+    * Vertex state: (dist from source, predecessor vid). Message: candidate
+    * (dist, pred); merge = min by dist. Converges in O(diameter) supersteps.
+    */
+  def sssp(rg: RoutingGraph, sourceVid: VertexId): GXGraph[(Double, VertexId), Double] = {
+    val init = rg.graph.mapVertices((vid, _) =>
+      if (vid == sourceVid) (0.0, -1L) else (Double.PositiveInfinity, -1L))
+    init.pregel((Double.PositiveInfinity, -1L))(
+      vprog = (_, state, msg) => if (msg._1 < state._1) msg else state,
+      sendMsg = t => {
+        val newDist = t.srcAttr._1 + t.attr
+        if (newDist < t.dstAttr._1) Iterator((t.dstId, (newDist, t.srcId)))
+        else Iterator.empty
+      },
+      mergeMsg = (a, b) => if (a._1 <= b._1) a else b)
+  }
+
+  /** Point-to-point Dijkstra path as node-id sequence plus total cost —
+    * parity with `nx.dijkstra_path(G, u, v, weight)` (`README.md:69-74`).
+    * Path unwound driver-side from predecessor pointers (paths are short
+    * relative to graph size, SURVEY §2.7).
+    */
+  def shortestPath(g: PropertyGraph, u: String, v: String, weightCol: String): Option[(Seq[String], Double)] = {
+    val rg = fromPropertyGraph(g, weightCol)
+    val vidRows = rg.idOf.filter(col("_n").isin(u, v)).collect()
+    val vidMap = vidRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (!vidMap.contains(u) || !vidMap.contains(v)) return None
+
+    val result = sssp(rg, vidMap(u))
+    val states = result.vertices
+      .filter { case (_, (d, _)) => !d.isInfinite }
+      .collectAsMap()
+    if (!states.contains(vidMap(v))) return None
+
+    // unwind predecessor vids driver-side (path length ≪ graph size),
+    // then resolve names with one pruned lookup instead of collecting idOf.
+    val vids = scala.collection.mutable.ListBuffer[VertexId]()
+    var cur = vidMap(v)
+    var guard = 0
+    while (cur != -1L && guard < states.size + 1) {
+      vids.prepend(cur)
+      cur = if (cur == vidMap(u)) -1L else states(cur)._2
+      guard += 1
+    }
+    val names = rg.idOf.filter(col("_vid").isin(vids.toSeq: _*))
+      .collect().map(r => r.getLong(1) -> r.getString(0)).toMap
+    Some((vids.map(names).toList, states(vidMap(v))._1))
+  }
+
+  /** PageRank centrality over the edge structure (ref README "centrality
+    * measures", `README.md:66-68`), returned as (_n, rank).
+    */
+  def pageRank(spark: SparkSession, g: PropertyGraph, tol: Double = 1e-4): DataFrame = {
+    import spark.implicits._
+    val idOf = g.nodes.select(col("_n"), xxhash64(col("_n")).as("_vid"))
+    val vertices = idOf.rdd.map(r => (r.getLong(1), r.getString(0)))
+    val edges = g.edges
+      .select(xxhash64(col("_u")).as("src"), xxhash64(col("_v")).as("dst"))
+      .rdd.map(r => GXEdge(r.getLong(0), r.getLong(1), 1.0))
+    val ranks = GXGraph(vertices, edges).pageRank(tol).vertices
+    val ranksDf = ranks.toDF("_vid", "rank")
+    idOf.join(ranksDf, "_vid").select("_n", "rank")
+  }
+}

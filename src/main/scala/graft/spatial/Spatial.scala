@@ -1,0 +1,89 @@
+package graft.spatial
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.geo.{Geo, GeoFunctions}
+
+/** Spatial query surface — candidate-prune + exact-refine, the reference's
+  * R-tree scheme (`feature_table.py:120-235`) re-expressed as columnar
+  * pruning:
+  *
+  *  - `withSpatialColumns` materializes an envelope struct + grid-cell id at
+  *    write time (the "index build", ref `add_rtree`
+  *    `feature_table.py:265-414`) — parquet row-group min/max stats on the
+  *    four envelope doubles plus cell-partitioned layout replace the R-tree;
+  *  - `intersects` is a plain predicate on those columns (pushed to the
+  *    scan);
+  *  - `dwithin` expands the query point by `distance` meters in lon/lat (the
+  *    reference's project→buffer→inverse-project dance,
+  *    `feature_table.py:164-196`, done directly on the sphere), prunes on
+  *    bbox, then refines with the exact point→polyline distance, strict
+  *    `< distance`, optional nearest-first sort (`feature_table.py:198-235`).
+  */
+object Spatial {
+
+  val BBoxCol = "_bbox"
+  val CellCol = "_cell"
+
+  /** Default grid-cell size for spatial partitioning: ~1.1 km at the
+    * equator. Coarse enough that a metro-area graph spans few cells, fine
+    * enough that a dwithin query prunes to a handful of files at 100 TB.
+    */
+  val DefaultCellDeg: Double = 0.01
+
+  def withSpatialColumns(edges: DataFrame, cellDeg: Double = DefaultCellDeg): DataFrame = {
+    val cs = col("geom.coordinates")
+    val withBox = edges.withColumn(BBoxCol, GeoFunctions.envelope(cs))
+    withBox.withColumn(CellCol,
+      GeoFunctions.gridCell(
+        (col(s"$BBoxCol.min_x") + col(s"$BBoxCol.max_x")) / 2,
+        (col(s"$BBoxCol.min_y") + col(s"$BBoxCol.max_y")) / 2, cellDeg))
+  }
+
+  private def ensureBBox(edges: DataFrame): DataFrame =
+    if (edges.columns.contains(BBoxCol)) edges
+    else edges.withColumn(BBoxCol, GeoFunctions.envelope(col("geom.coordinates")))
+
+  /** Features whose MBR intersects the bbox (ref `feature_table.py:120-162`). */
+  def intersects(edges: DataFrame, left: Double, bottom: Double,
+      right: Double, top: Double): DataFrame = {
+    val e = ensureBBox(edges)
+    e.filter(GeoFunctions.bboxIntersects(col(BBoxCol), left, bottom, right, top))
+  }
+
+  /** Candidate set for a distance query: bbox of the point buffered by
+    * `distance` meters (ref `dwithin_rtree`, `feature_table.py:164-196`).
+    */
+  def dwithinCandidates(edges: DataFrame, lon: Double, lat: Double,
+      distance: Double): DataFrame = {
+    val dLat = distance / Geo.MetersPerDeg
+    val cosLat = math.max(math.cos(math.toRadians(lat)), 1e-12)
+    val dLon = distance / (Geo.MetersPerDeg * cosLat)
+    intersects(edges, lon - dLon, lat - dLat, lon + dLon, lat + dLat)
+  }
+
+  /** Exact distance query (ref `dwithin`, `feature_table.py:198-235`):
+    * strict `< distance` meters, optional ascending distance sort; the
+    * returned frame carries the distance as `_distance`.
+    */
+  def dwithin(edges: DataFrame, lon: Double, lat: Double, distance: Double,
+      sort: Boolean = false): DataFrame = {
+    val refined = dwithinCandidates(edges, lon, lat, distance)
+      .withColumn("_distance",
+        GeoFunctions.pointLineDistance(lon, lat, col("geom.coordinates")))
+      .filter(col("_distance") < distance)
+    if (sort) refined.orderBy("_distance") else refined
+  }
+
+  /** k nearest features to a point — top-k via TakeOrderedAndProject, with
+    * the candidate prune at `radius` meters keeping the refine set small.
+    */
+  def nearestK(edges: DataFrame, lon: Double, lat: Double, k: Int,
+      radius: Double = 10000.0): DataFrame =
+    dwithinCandidates(edges, lon, lat, radius)
+      .withColumn("_distance",
+        GeoFunctions.pointLineDistance(lon, lat, col("geom.coordinates")))
+      .orderBy("_distance")
+      .limit(k)
+}

@@ -1,0 +1,69 @@
+package graft.store
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.graph.PropertyGraph
+import graft.spatial.Spatial
+
+/** "Graph package" persistence — the columnar equivalent of the reference's
+  * GeoPackage file (`geopackage/__init__.py:90-192`):
+  *
+  * ```
+  * pkg/
+  *   metadata.json      -- schema version, CRS, layer extents
+  *                         (gpkg_contents / gpkg_spatial_ref_sys mirror)
+  *   nodes/             -- parquet, sorted by _n (key lookups prune row groups)
+  *   edges/             -- parquet, partitioned by _cell (spatial pruning),
+  *                         sorted by (_u, _v) within partitions (key joins)
+  * ```
+  *
+  * Layout *is* the index (SURVEY §4): the reference's R-tree becomes the
+  * `_cell` partition column + `_bbox` min/max stats; its B-tree key indexes
+  * become sort order + parquet row-group stats. Writes are atomic via
+  * tmp-dir + rename (ref `build.py:34-47`).
+  */
+object GraphPackage {
+
+  val FormatVersion = 1
+
+  def save(g: PropertyGraph, path: String, cellDeg: Double = Spatial.DefaultCellDeg): Unit = {
+    val tmp = path + ".tmp"
+    deleteRecursive(Paths.get(tmp))
+
+    val edges = Spatial.withSpatialColumns(g.edges, cellDeg)
+      .sortWithinPartitions("_u", "_v")
+    edges.write.mode(SaveMode.Overwrite)
+      .partitionBy(Spatial.CellCol)
+      .parquet(s"$tmp/edges")
+    g.nodes.sort("_n").write.mode(SaveMode.Overwrite).parquet(s"$tmp/nodes")
+
+    val metadata =
+      s"""{
+         |  "format_version": $FormatVersion,
+         |  "crs": {"name": "WGS 84", "epsg": 4326},
+         |  "cell_deg": $cellDeg,
+         |  "tables": ["nodes", "edges"]
+         |}""".stripMargin
+    Files.writeString(Paths.get(tmp, "metadata.json"), metadata)
+
+    // atomic finalize (ref build.py:34-47)
+    val dst = Paths.get(path)
+    deleteRecursive(dst)
+    Files.move(Paths.get(tmp), dst, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def load(spark: SparkSession, path: String): PropertyGraph = {
+    val nodes = spark.read.parquet(s"$path/nodes")
+    val edges = spark.read.parquet(s"$path/edges")
+    new PropertyGraph(nodes, edges)
+  }
+
+  private def deleteRecursive(p: Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+}

@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.PropertyGraph
+import graft.spatial.Spatial
+import graft.store.GraphPackage
+
+/** Reference-parity behavioral suite over the 4-feature star fixture
+  * (mirrors `tests/test_digraphdbview.py` and `tests/test_digraphdb.py`).
+  */
+class PropertyGraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  lazy val g: PropertyGraph =
+    PropertyGraph.fromGeoJson(spark, Seq(Fixture.path)).toInMemory()
+
+  test("ingest: 8 edges, 5 nodes (test_digraphdbview.py:5-6)") {
+    assert(g.size() == 8)
+    assert(g.order() == 5)
+  }
+
+  test("node ids match the reference's formatting (test_digraphdb.py:5-6)") {
+    assert(g.hasNode(Fixture.TestNode1))
+    assert(g.hasNode(Fixture.TestNode2))
+    assert(!g.hasNode("0.0, 0.0"))
+  }
+
+  test("edge (n1, n2) exists with fid == 2 (test_digraphdbview.py:52-60)") {
+    val e = g.getEdge(Fixture.TestNode1, Fixture.TestNode2).collect()
+    assert(e.length == 1)
+    val row = e.head
+    assert(row.getAs[Long]("fid") == 2L)
+    assert(row.getAs[String]("_layer") == "star")
+  }
+
+  test("successors/predecessors consistent on an undirected-by-reversal graph") {
+    val succ = g.successorNodes(Some(Fixture.TestNode2)).collect().map(_.getString(0)).toSet
+    val pred = g.predecessorNodes(Some(Fixture.TestNode2)).collect().map(_.getString(0)).toSet
+    assert(succ == pred)  // every edge has its reverse
+    assert(succ.size == 4) // hub connects to all four leaves
+    assert(g.uniqueSuccessors(Fixture.TestNode2) == 4)
+    assert(g.uniqueSuccessors(Fixture.TestNode1) == 1)
+    assert(g.outDegrees.count() == 5)
+  }
+
+  test("size(weight) sums edge weights") {
+    val total = g.size("_length")
+    // forward+reverse double-counts: total = 2 * sum of feature lengths
+    assert(total > 0)
+    val fwd = g.edges.filter(col("fid") % 2 === 1).agg(sum("_length")).head.getDouble(0)
+    assert(math.abs(total - 2 * fwd) < 1e-6)
+  }
+
+  test("dwithin at node1 returns exactly 2 edges, nearest-first (test_digraphdbview.py:22-30)") {
+    val res = Spatial.dwithin(g.edges, -122.3132940, 47.6598762, 0.1, sort = true).collect()
+    assert(res.length == 2)
+    val dists = res.map(_.getAs[Double]("_distance"))
+    assert(dists.forall(_ < 0.1))
+    assert(dists.sorted.sameElements(dists))
+  }
+
+  test("intersects bbox returns the edges whose MBR overlaps") {
+    val all = Spatial.intersects(g.edges, -123, 47, -122, 48).count()
+    assert(all == 8)
+    val none = Spatial.intersects(g.edges, 0, 0, 1, 1).count()
+    assert(none == 0)
+  }
+
+  test("graph package save/load round-trip preserves the graph") {
+    val dir = Files.createTempDirectory("graft-pkg").resolve("star.graft").toString
+    GraphPackage.save(g, dir)
+    val g2 = GraphPackage.load(spark, dir)
+    assert(g2.size() == 8 && g2.order() == 5)
+    assert(g2.edges.columns.contains(Spatial.BBoxCol))
+    // spatial query works straight off the stored layout
+    val res = Spatial.dwithin(g2.edges, -122.3132940, 47.6598762, 0.1).count()
+    assert(res == 2)
+    assert(Files.exists(java.nio.file.Paths.get(dir, "metadata.json")))
+  }
+
+  test("addEdges upsert is last-wins on (_u,_v) (feature_table.py:601-613)") {
+    import spark.implicits._
+    val upd = Seq((Fixture.TestNode1, Fixture.TestNode2, 99.9))
+      .toDF("_u", "_v", "weight")
+    val g2 = g.addEdges(upd)
+    assert(g2.size() == 8) // replaced, not appended
+    val e = g2.getEdge(Fixture.TestNode1, Fixture.TestNode2).collect().head
+    assert(e.getAs[Double]("weight") == 99.9)
+    // untouched edge keeps its attrs, weight null
+    val other = g2.getEdge(Fixture.TestNode2, Fixture.TestNode1).collect().head
+    assert(other.getAs[Any]("weight") == null)
+    assert(other.getAs[String]("_layer") == "star")
+  }
+
+  test("updateEdges mutates only matched keys (edge_table.py:39-57)") {
+    import spark.implicits._
+    val upd = Seq((Fixture.TestNode1, Fixture.TestNode2, "yes"))
+      .toDF("_u", "_v", "touched")
+    val g2 = g.updateEdges(upd)
+    assert(g2.size() == 8)
+    val hit = g2.getEdge(Fixture.TestNode1, Fixture.TestNode2).collect().head
+    assert(hit.getAs[String]("touched") == "yes")
+    val miss = g2.getEdge(Fixture.TestNode2, Fixture.TestNode1).collect().head
+    assert(miss.getAs[Any]("touched") == null)
+    // existing attrs survive
+    assert(hit.getAs[Long]("fid") == 2L)
+  }
+
+  test("view refuses writes at the API level (M5)") {
+    import spark.implicits._
+    val v = g.view
+    assert(v.size() == 8)
+    intercept[UnsupportedOperationException] {
+      v.addEdges(Seq(("a", "b", 1.0)).toDF("_u", "_v", "w"))
+    }
+  }
+}

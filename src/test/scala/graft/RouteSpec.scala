@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.PropertyGraph
+import graft.route.Route
+
+/** Routing parity with the reference's README Dijkstra example
+  * (`README.md:59-74`): stock shortest path over the star fixture.
+  */
+class RouteSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  lazy val g: PropertyGraph =
+    PropertyGraph.fromGeoJson(spark, Seq(Fixture.path)).toInMemory()
+
+  val leafWest = "-122.3144401, 47.6598872"
+
+  test("weighted shortest path goes leaf → hub → leaf") {
+    val Some((path, cost)) =
+      Route.shortestPath(g, leafWest, Fixture.TestNode1, "_length")
+    assert(path == Seq(leafWest, Fixture.TestNode2, Fixture.TestNode1))
+    // cost = sum of the two segment lengths
+    val l1 = graft.geo.Geo.haversine(-122.3144401, 47.6598872, -122.3141965, 47.6598870)
+    val l2 = graft.geo.Geo.haversine(-122.3141965, 47.6598870, -122.3132940, 47.6598762)
+    assert(math.abs(cost - (l1 + l2)) < 1e-6)
+  }
+
+  test("path to self is the single node at cost 0") {
+    val Some((path, cost)) = Route.shortestPath(g, Fixture.TestNode1, Fixture.TestNode1, "_length")
+    assert(path == Seq(Fixture.TestNode1))
+    assert(cost == 0.0)
+  }
+
+  test("unreachable/unknown nodes yield None") {
+    assert(Route.shortestPath(g, "nope", Fixture.TestNode1, "_length").isEmpty)
+  }
+
+  test("pageRank: hub outranks leaves") {
+    val ranks = Route.pageRank(spark, g).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ranks.size == 5)
+    val hub = ranks(Fixture.TestNode2)
+    assert(ranks.filterNot(_._1 == Fixture.TestNode2).values.forall(_ < hub))
+  }
+}
