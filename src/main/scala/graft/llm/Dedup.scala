@@ -1,0 +1,173 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators — exact and near-duplicate — designed so the
+  * shuffle key is always a short digest/bucket, never the document text.
+  *
+  *  - exact: hash-groupBy on the canonical fingerprint;
+  *  - MinHash+LSH: shingle → minhash signature → band buckets → bucket
+  *    join; candidate pairs verified with exact Jaccard. O(n·sig) + skew-free
+  *    bucket join instead of O(n²);
+  *  - SimHash: 64-bit signature; near-dup = small Hamming distance, found
+  *    via band partitioning of the signature;
+  *  - n-gram Jaccard: explode distinct shingles + self-join (the exact
+  *    baseline the sketches approximate).
+  */
+object Dedup {
+
+  /** Word n-gram shingles (distinct, order-free set) — codegen-friendly. */
+  def shingles(text: Column, n: Int): Column = {
+    val ws = Text.tokens(text)
+    val k = size(ws)
+    if (n <= 1) array_distinct(ws)
+    else array_distinct(zip_with(
+      slice(ws, lit(1), greatest(k - (n - 1), lit(0))),
+      slice(ws, lit(n), greatest(k - (n - 1), lit(0))),
+      // join first and last word of the window with the count — cheap and
+      // distinctive enough for shingling; full n-word join for n == 2
+      (a, b) => concat_ws(" ", a, b)))
+  }
+
+  /** Keep one representative per exact-duplicate group (min id wins). */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(Text.fingerprint(col(textCol)))
+    df.withColumn("_keep", min(col(idCol)).over(w))
+      .filter(col(idCol) === col("_keep"))
+      .drop("_keep")
+  }
+
+  /** MinHash signature as an array<long> of `numHashes` values over word
+    * `shingleN`-grams. Hash family: h_i(x) = (a_i * x + b_i) mod p over the
+    * 32-bit murmur hash of the shingle (deterministic across runs).
+    */
+  def minhashSignature(text: Column, numHashes: Int = 64, shingleN: Int = 2): Column = {
+    val p = 4294967311L // smallest prime > 2^32
+    val xs = transform(shingles(text, shingleN),
+      s => pmod(hash(s).cast("long"), lit(4294967296L)))
+    // a < 2^29 keeps x*a+b < 2^61: no 64-bit overflow for x < 2^32
+    val hashes = (0 until numHashes).map { i =>
+      val a = 2L * (deterministicCoeff(2 * i) % (1L << 28)) + 1 // odd, < 2^29
+      val b = deterministicCoeff(2 * i + 1) % (1L << 29)
+      array_min(transform(xs, x => pmod(x * a + b, lit(p))))
+    }
+    array(hashes: _*)
+  }
+
+  private def deterministicCoeff(i: Int): Long = {
+    // splitmix64 of the index — fixed, public constant stream
+    var z = i.toLong + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    math.abs(z ^ (z >>> 31)) % 4294967296L
+  }
+
+  /** LSH band buckets: signature split into `bands` rows of `r` values,
+    * each hashed to one bucket id. Docs sharing any band bucket are
+    * candidates. Returns (id, band, bucket).
+    */
+  def lshBuckets(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleN: Int = 2): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sig = minhashSignature(col(textCol), numHashes, shingleN)
+    df.select(col(idCol), posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws("_", b, concat_ws(",", slice(sig, b * r + 1, lit(r)))))))
+      .as(Seq("band", "bucket")))
+  }
+
+  /** Candidate near-dup pairs from LSH buckets, verified with exact word
+    * `shingleN`-gram Jaccard ≥ `threshold`. The scale path: the only joins
+    * are on (band, bucket) and on id.
+    */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.6, numHashes: Int = 64, bands: Int = 16,
+      shingleN: Int = 2): DataFrame = {
+    val buckets = lshBuckets(df, idCol, textCol, numHashes, bands, shingleN)
+    val a = buckets.toDF("a", "band", "bucket")
+    val b = buckets.toDF("b", "band", "bucket")
+    val cand = a.join(b, Seq("band", "bucket")).filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val sh = df.select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
+    val withSets = cand
+      .join(sh.toDF("a", "sh_a"), "a")
+      .join(sh.toDF("b", "sh_b"), "b")
+    withSets
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .withColumn("jaccard", when(col("uni") === 0, 1.0)
+        .otherwise(col("inter").cast("double") / col("uni")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over word unigrams (murmur3-based, deterministic). */
+  val simhashUdf = udf((text: String) => {
+    if (text == null) 0L
+    else {
+      val counts = new Array[Int](64)
+      text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach { w =>
+        val h = scala.util.hashing.MurmurHash3.stringHash(w, 0).toLong & 0xFFFFFFFFL
+        val h2 = scala.util.hashing.MurmurHash3.stringHash(w, 1).toLong & 0xFFFFFFFFL
+        val bits = (h2 << 32) | h
+        var i = 0
+        while (i < 64) {
+          if (((bits >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+          i += 1
+        }
+      }
+      var out = 0L
+      var i = 0
+      while (i < 64) { if (counts(i) > 0) out |= (1L << i); i += 1 }
+      out
+    }
+  })
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist, via band
+    * partitioning of the 64-bit signature into maxDist+1 chunks: by
+    * pigeonhole, any pair within `maxDist` differing bits shares at least
+    * one intact band, so the join key is a short band value.
+    */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val nb = math.min(maxDist + 1, 16)
+    val base = 64 / nb
+    val extra = 64 % nb
+    val sizes = Seq.tabulate(nb)(i => base + (if (i < extra) 1 else 0))
+    val starts = sizes.scanLeft(0)(_ + _).init
+    val bandCols = starts.zip(sizes).map { case (st, sz) =>
+      val mask = if (sz == 64) -1L else (1L << sz) - 1
+      expr(s"shiftrightunsigned(sig, $st) & $mask")
+    }
+    val withSig = df.select(col(idCol), Dedup.simhashUdf(col(textCol)).as("sig"))
+    val bands = withSig.select(col(idCol).as("id"), col("sig"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "val")))
+    val a = bands.toDF("a", "sig_a", "band", "val")
+    val b = bands.toDF("b", "sig_b", "band", "val")
+    a.join(b, Seq("band", "val")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        expr("bit_count(sig_a ^ sig_b)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** Exact all-pairs word n-gram Jaccard ≥ threshold (or top-k most similar
+    * pairs) via shingle-inverted-index join — the exact baseline.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 2): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    val inv = sh.select(col("id"), col("sh"), explode(col("sh")).as("s"))
+    val pairs = inv.select(col("id").as("a"), size(col("sh")).as("na"), col("s"))
+      .join(inv.select(col("id").as("b"), size(col("sh")).as("nb"), col("s")), "s")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+    pairs.withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .select("a", "b", "jaccard")
+  }
+}

@@ -1,0 +1,102 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k (broadcast the query vector, one
+  * codegen'd pass, TakeOrderedAndProject). Scale path: LSH bucketing by
+  * deterministic random-hyperplane signs — candidates share a bucket, so
+  * the full scan is replaced by a bucket-pruned scan; recall is tested
+  * against the brute-force oracle in the spec suite.
+  */
+object Similarity {
+
+  /** Dot product of two double-array columns (inline, codegen-friendly). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity computed in double precision regardless of input
+    * element type (float32 inputs are widened first — keeps parity with
+    * any double-precision oracle).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = a.cast("array<double>")
+    val bd = b.cast("array<double>")
+    dot(ad, bd) / (norm(ad) * norm(bd))
+  }
+
+  /** Exact top-k nearest neighbours of `queryVec` by cosine. */
+  def bruteForceTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      queryVec: Seq[Double], k: Int): DataFrame = {
+    val q = array(queryVec.map(lit): _*)
+    embeddings
+      .select(col(idCol), cosine(col(vecCol), q).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic random-hyperplane LSH signature (`nBits` sign bits).
+    * Hyperplane weights come from a fixed splitmix64 stream of (bit, dim),
+    * so signatures are stable across runs and cluster deployments.
+    */
+  def hyperplaneSignature(vec: Column, dim: Int, nBits: Int = 16): Column = {
+    val vd = vec.cast("array<double>")
+    val bits: Seq[Column] = (0 until nBits).map { b =>
+      val w = array((0 until dim).map(d => lit(coeff(b, d))): _*)
+      when(dot(vd, w) >= 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  private def coeff(b: Int, d: Int): Double = {
+    var z = (b.toLong << 32 | d.toLong) + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    // map to (-1, 1)
+    (z.toDouble / Long.MaxValue.toDouble)
+  }
+
+  /** ANN top-k: prune to vectors whose signature is within `maxBitDiff`
+    * bits of the query signature (checked via bit_count of xor), then exact
+    * cosine on the survivors. At scale the signature is a stored, bucketed
+    * column; here it is computed inline.
+    */
+  def lshTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      queryVec: Seq[Double], k: Int, dim: Int, nBits: Int = 16,
+      maxBitDiff: Int = 6): DataFrame = {
+    val qSig = {
+      // driver-side signature of the query vector (same coeff stream)
+      var sig = 0L
+      (0 until nBits).foreach { b =>
+        val s = (0 until dim).map(d => queryVec(d) * coeff(b, d)).sum
+        if (s >= 0) sig |= (1L << b)
+      }
+      sig
+    }
+    val q = array(queryVec.map(lit): _*)
+    embeddings
+      .withColumn("_sig", hyperplaneSignature(col(vecCol), dim, nBits))
+      .filter(expr(s"bit_count(_sig ^ ${qSig}L) <= $maxBitDiff"))
+      .select(col(idCol), cosine(col(vecCol), q).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Top-`k` most-similar pairs across the corpus (brute force, for the
+    * oracle gate; LSH/banding covers the 100 TB path).
+    */
+  def topSimilarPairs(embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val a = embeddings.select(col(idCol).as("a"), col(vecCol).cast("array<double>").as("va"))
+    val b = embeddings.select(col(idCol).as("b"), col(vecCol).cast("array<double>").as("vb"))
+    a.crossJoin(b).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), round(cosine(col("va"), col("vb")), 4).as("sim"))
+      .orderBy(col("sim").desc, col("a"), col("b"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
+/** Event-stream operators expressed over the batch `events` table. The
+  * same plans run under Structured Streaming (see graft.streaming and
+  * StreamingSpec); the batch form is what the DuckDB oracle can check.
+  */
+object EventQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val SessionGapSec = 1800L
+
+  val queries: Map[String, Q] = Map(
+    // gap-based sessionization: a >30 min silence starts a new session.
+    // unix-seconds (floored) on both sides for engine parity.
+    "e2_sessionize" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .withColumn("sec", unix_timestamp(col("ts")))
+      val wOrd = Window.partitionBy("user_id").orderBy("sec", "event_id")
+      ev.withColumn("gap", col("sec") - lag("sec", 1).over(wOrd))
+        .withColumn("new_session",
+          when(col("gap").isNull || col("gap") > SessionGapSec, 1).otherwise(0))
+        .withColumn("session_id",
+          sum("new_session").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+        .select("user_id", "event_id", "session_id")
+        .orderBy("user_id", "event_id")
+    }),
+    // as-of join (backward): latest signup at-or-before each event, per
+    // user. Expressed as a running max over the ordered stream — the
+    // shuffle-free form of an as-of self-join.
+    "e3_asof_last_signup" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .withColumn("sec", unix_timestamp(col("ts")))
+      val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      ev.withColumn("last_signup",
+          max(when(col("event_type") === "signup", col("sec"))).over(w))
+        .select("user_id", "event_id", "last_signup")
+        .orderBy("user_id", "event_id")
+    }),
+    // per-session aggregate on top of sessionization
+    "e4_session_stats" -> ((s, d) => {
+      val sess = queries("e2_sessionize")(s, d)
+      val ev = t(s, d, "events").select(col("event_id"), col("value"))
+      sess.join(ev, "event_id")
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+        .orderBy("user_id", "session_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "e2_sessionize" ->
+      s"""WITH ev AS (
+           SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+           FROM events),
+         g AS (
+           SELECT user_id, event_id, sec,
+             sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS gap
+           FROM ev)
+         SELECT user_id, event_id,
+           CAST(sum(CASE WHEN gap IS NULL OR gap > $SessionGapSec THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY sec, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         FROM g ORDER BY user_id, event_id""",
+    "e3_asof_last_signup" ->
+      """WITH ev AS (
+           SELECT user_id, event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+           FROM events)
+         SELECT user_id, event_id,
+           max(CASE WHEN event_type = 'signup' THEN sec END)
+             OVER (PARTITION BY user_id ORDER BY sec, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup
+         FROM ev ORDER BY user_id, event_id""",
+    "e4_session_stats" ->
+      s"""WITH ev AS (
+           SELECT user_id, event_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+           FROM events),
+         g AS (
+           SELECT user_id, event_id, value, sec,
+             sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS gap
+           FROM ev),
+         sess AS (
+           SELECT user_id, event_id, value,
+             CAST(sum(CASE WHEN gap IS NULL OR gap > $SessionGapSec THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY sec, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+           FROM g)
+         SELECT user_id, session_id, count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+         FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id"""
+  )
+}

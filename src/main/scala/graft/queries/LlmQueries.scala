@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.llm.{Dedup, Multimodal, Similarity, Text}
+
+/** LLM-data-pipeline operators over the synthetic documents/embeddings
+  * tables. Oracle-expressible ops carry DuckDB SQL; sketch/UDF-based ops
+  * (language ID, minhash/simhash signatures, LSH ANN) are rows-only here
+  * and verified behaviorally in LlmSpec (planted duplicates, recall vs
+  * brute force).
+  */
+object LlmQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // ---- text analysis ----
+    "t1_token_count" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), Text.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")),
+    "t2_quality_score" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        Text.tokenCount(col("text")).as("n_tokens"),
+        round(Text.meanWordLen(col("text")), 4).as("mean_word_len"),
+        round(Text.stopwordRatio(col("text")), 4).as("stopword_ratio"),
+        round(Text.qualityScore(col("text")), 2).as("quality"))
+        .orderBy("doc_id")),
+    "t3_lang_id" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), Text.langIdUdf(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+    "t4_fingerprint" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+    "t5_rolling_fingerprint" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          Text.rollingFingerprintUdf(col("text"), lit(3)).as("rfp"))
+        .orderBy("doc_id")),
+
+    // ---- deduplication ----
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents"), "doc_id", "text")
+        .select("doc_id").orderBy("doc_id")),
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", 2)
+      pairs.select(col("a"), col("b"), round(col("jaccard"), 4).as("jac"))
+        .orderBy(col("jac").desc, col("a"), col("b")).limit(20)
+    }),
+    "dedup_minhash_lsh" -> ((s, d) =>
+      Dedup.lshBuckets(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id", "band")),
+    "dedup_simhash" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), Dedup.simhashUdf(col("text")).as("simhash"))
+        .orderBy("doc_id")),
+    "dedup_embedding_cosine" -> ((s, d) =>
+      Similarity.topSimilarPairs(t(s, d, "embeddings"), "vec_id", "embedding", 20)),
+
+    // ---- similarity search ----
+    "ann_brute_topk" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>").as("qv"))
+      e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(Similarity.cosine(col("embedding"), col("qv")), 4).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+    "ann_lsh_topk" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head.getSeq[Float](0).map(_.toDouble)
+      Similarity.lshTopK(e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        qv, 10, qv.length)
+        .select(col("vec_id"), round(col("sim"), 4).as("sim"))
+    }),
+
+    // ---- multimodal plumbing (decode stubbed; schema/batching real) ----
+    "mm1_media_meta" -> ((s, d) => {
+      val media = Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text", "text/plain")
+      media.select(col("media_id"), octet_length(col("content")).as("byte_len"),
+        sha2(col("content"), 256).as("sha"), col("meta.format").as("format"))
+        .orderBy("media_id")
+    }),
+    "mm2_decode_features" -> ((s, d) => {
+      val media = Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text", "image/fake")
+      Multimodal.extractFeatures(media)
+        .select(col("media_id"), col("width"), col("height"),
+          round(element_at(col("features"), 1), 4).as("f0"))
+        .orderBy("media_id")
+    }),
+    "mm3_frame_plan" -> ((s, d) => {
+      val media = Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text", "video/fake")
+        .withColumn("meta", struct(col("meta.format"), col("meta.width"),
+          col("meta.height"),
+          (octet_length(col("content")).cast("long") * 10).as("duration_ms")))
+      Multimodal.frameSamplePlan(media, 500L).orderBy("media_id", "frame_ts_ms")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "t1_token_count" ->
+      """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+         FROM documents ORDER BY doc_id""",
+    "t2_quality_score" ->
+      s"""WITH w AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws,
+                  length(regexp_replace(trim(text), '\\s+', '', 'g')) AS chars
+           FROM documents),
+         m AS (
+           SELECT doc_id, len(ws) AS n_tokens,
+             CASE WHEN len(ws) = 0 THEN 0.0 ELSE chars / CAST(len(ws) AS DOUBLE) END AS mwl,
+             CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+               len(list_filter(ws, x -> x IN (${Text.Stopwords.map("'" + _ + "'").mkString(",")})))
+                 / CAST(len(ws) AS DOUBLE) END AS swr,
+             CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE
+               (length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')))
+                 / CAST(length(text) AS DOUBLE) END AS pr
+           FROM documents JOIN w USING (doc_id))
+         SELECT doc_id, n_tokens, round(mwl, 4) AS mean_word_len,
+           round(swr, 4) AS stopword_ratio,
+           round(CASE WHEN pr > 0.5 THEN 0.0 ELSE
+                 (CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 0.4 ELSE 0.0 END) +
+                 (CASE WHEN swr BETWEEN 0.01 AND 0.6 THEN 0.3 ELSE 0.0 END) +
+                 (CASE WHEN mwl BETWEEN 2.0 AND 12.0 THEN 0.2 ELSE 0.0 END) +
+                 (CASE WHEN pr < 0.2 THEN 0.1 ELSE 0.0 END) END, 2) AS quality
+         FROM m ORDER BY doc_id""",
+    "t4_fingerprint" ->
+      """SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+         FROM documents ORDER BY doc_id""",
+    "dedup_exact" ->
+      """SELECT doc_id FROM (
+           SELECT doc_id, min(doc_id) OVER (
+             PARTITION BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))) AS keep
+           FROM documents)
+         WHERE doc_id = keep ORDER BY doc_id""",
+    "dedup_ngram_jaccard" ->
+      """WITH w AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+         g AS (
+           SELECT doc_id,
+             list_distinct([ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))]) AS grams
+           FROM w),
+         s AS (SELECT doc_id, len(grams) AS n, unnest(grams) AS gr FROM g),
+         p AS (
+           SELECT a.doc_id AS a, b.doc_id AS b, a.n AS na, b.n AS nb, count(*) AS inter
+           FROM s a JOIN s b ON a.gr = b.gr AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4)
+         SELECT a, b, round(inter / CAST(na + nb - inter AS DOUBLE), 4) AS jac
+         FROM p ORDER BY jac DESC, a, b LIMIT 20""",
+    "dedup_embedding_cosine" ->
+      """SELECT a.vec_id AS a, b.vec_id AS b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS sim
+         FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+         ORDER BY sim DESC, a, b LIMIT 20""",
+    "ann_brute_topk" ->
+      """SELECT b.vec_id,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS sim
+         FROM embeddings a, embeddings b
+         WHERE a.vec_id = 0 AND b.vec_id <> 0
+         ORDER BY sim DESC, b.vec_id LIMIT 10""",
+    "mm1_media_meta" ->
+      """SELECT doc_id AS media_id, octet_length(CAST(text AS BLOB)) AS byte_len,
+         sha256(text) AS sha, 'text/plain' AS format
+         FROM documents ORDER BY media_id""",
+    "mm3_frame_plan" ->
+      """SELECT doc_id AS media_id,
+           unnest(generate_series(0, octet_length(CAST(text AS BLOB)) * 10, 500)) AS frame_ts_ms
+         FROM documents ORDER BY media_id, frame_ts_ms"""
+  )
+}

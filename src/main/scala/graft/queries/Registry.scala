@@ -7,7 +7,9 @@ object Registry {
   type Q = (SparkSession, String) => DataFrame
 
   private def providers: Seq[(Map[String, Q], Map[String, String])] = Seq(
-    (Relational.queries, Relational.oracleSql)
+    (Relational.queries, Relational.oracleSql),
+    (LlmQueries.queries, LlmQueries.oracleSql),
+    (EventQueries.queries, EventQueries.oracleSql)
   )
 
   def queries: Map[String, Q] = providers.map(_._1).reduce(_ ++ _)

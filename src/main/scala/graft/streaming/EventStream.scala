@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.LongType
+
+/** Structured Streaming surface over the `events` table shape. The same
+  * aggregations as the batch EventQueries, expressed as streaming plans
+  * with watermarks — `readStream` on a directory of parquet (or any
+  * streaming source with this schema) instead of `read`.
+  */
+object EventStream {
+
+  /** Normalize a raw events frame (ts possibly long nanos —
+    * see Tables.events) to a proper timestamp column.
+    */
+  def normalize(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => df
+    }
+
+  /** Open a streaming read of event parquet files under `dir`. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    normalize(spark.readStream.schema(schema).parquet(dir))
+  }
+
+  /** Tumbling-window counts/sums per event type with a watermark — the
+    * streaming form of the batch `e1_hourly_agg` oracle query.
+    */
+  def hourlyAgg(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    normalize(events)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(unix_timestamp(col("window.start")).as("hour_ts"),
+        col("event_type"), col("n"), col("total"))
+
+  /** Stateful per-user running counters via mapGroupsWithState — the
+    * custom-state extension point (session tracking, rate limiting, …).
+    */
+  case class UserStat(userId: Long, events: Long, totalValue: Double)
+
+  def runningUserStats(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val typed = normalize(events)
+      .select(col("user_id").as("userId"), col("value"))
+      .as[(Long, Double)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[UserStat, UserStat](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[UserStat]) =>
+          val prev = state.getOption.getOrElse(UserStat(uid, 0L, 0.0))
+          var n = prev.events
+          var tot = prev.totalValue
+          rows.foreach { case (_, v) => n += 1; tot += v }
+          val next = UserStat(uid, n, tot)
+          state.update(next)
+          next
+      }
+      .toDF()
+  }
+}

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{Dedup, Multimodal, Similarity, Text}
+
+/** Behavioral checks for the sketch/UDF-based LLM ops that have no SQL
+  * oracle: planted near-duplicates must be found, LSH ANN must agree with
+  * brute force, language ID must label obvious text correctly.
+  */
+class LlmSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val baseDoc = "the quick brown fox jumps over the lazy dog and runs far away " +
+    "into the deep green forest while birds sing in the morning light"
+
+  lazy val docs = Seq(
+    (1L, baseDoc),
+    (2L, baseDoc), // exact duplicate of 1
+    (3L, baseDoc.replace("morning", "evening")), // near-dup of 1
+    (4L, "completely different content about spark sql engines and columnar storage formats"),
+    (5L, "der schnelle braune fuchs springt über den faulen hund und ist nicht müde")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps one representative per duplicate group") {
+    val kept = Dedup.exact(docs, "doc_id", "text").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L, 5L))
+  }
+
+  test("minhash LSH finds planted exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
+  test("minhash signature approximates jaccard: identical docs share all hashes") {
+    val sigs = docs.select(col("doc_id"),
+        Dedup.minhashSignature(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    val agree13 = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b }
+    val agree14 = sigs(1L).zip(sigs(4L)).count { case (a, b) => a == b }
+    assert(agree13 > 40, s"near-dup should agree on most hashes, got $agree13/64")
+    assert(agree14 < 10, s"unrelated should rarely agree, got $agree14/64")
+  }
+
+  test("simhash: hamming(near-dup) small, hamming(unrelated) large; banding finds pairs") {
+    val sigs = docs.select(col("doc_id"), Dedup.simhashUdf(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(2L)) == 0)
+    assert(ham(sigs(1L), sigs(3L)) <= 6)
+    assert(ham(sigs(1L), sigs(4L)) > 10)
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxDist = 6)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+  }
+
+  test("ngram jaccard: exact dup = 1.0, near-dup high, unrelated ~0") {
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(jac((1L, 2L)) == 1.0)
+    assert(jac((1L, 3L)) > 0.8)
+    assert(!jac.contains((1L, 4L)) || jac((1L, 4L)) < 0.1)
+  }
+
+  test("LSH ANN top-k has high recall vs brute force on real embeddings") {
+    val e = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val qv = e.filter(col("vec_id") === 0).select("embedding")
+      .head.getSeq[Float](0).map(_.toDouble)
+    val rest = e.filter(col("vec_id") =!= 0)
+    val brute = Similarity.bruteForceTopK(rest, "vec_id", "embedding", qv, 10)
+      .collect().map(_.getLong(0)).toSet
+    val lsh = Similarity.lshTopK(rest, "vec_id", "embedding", qv, 10, qv.length,
+        nBits = 16, maxBitDiff = 8)
+      .collect().map(_.getLong(0)).toSet
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall too low: lsh=$lsh brute=$brute")
+  }
+
+  test("language ID labels clearly-marked text") {
+    val out = Seq(
+      "the cat and the dog went to the park for a walk and it is warm",
+      "der hund ist nicht müde und ich gehe mit dem hund zu dir",
+      "el perro es un animal y la casa es de los gatos por ahora",
+      "le chat est une belle créature et je ne vais pas au parc pour rien",
+      "今天天气很好我们去公园散步吧然后回家吃饭"
+    ).toDF("text").select(Text.langIdUdf(col("text"))).collect().map(_.getString(0))
+    assert(out.toSeq == Seq("en", "de", "es", "fr", "zh"))
+  }
+
+  test("quality score rewards normal text, punishes degenerate text") {
+    val rows = Seq("the quick brown fox jumps over the lazy dog near the river bank",
+      "a", "!!! ??? ... ;;; :::").toDF("text")
+      .select(Text.qualityScore(col("text"))).collect().map(_.getDouble(0))
+    assert(rows(0) >= 0.9)
+    assert(rows(1) <= 0.4)
+    assert(rows(2) <= 0.3)
+  }
+
+  test("multimodal: batch feature extraction preserves ids and shapes; frame plan counts") {
+    val media = Multimodal.asMedia(docs, "doc_id", "text", "image/fake")
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 5)
+    assert(feats.forall(r => r.getSeq[Double](r.fieldIndex("features")).length == 8))
+    assert(feats.map(_.getAs[Long]("media_id")).toSet == Set(1L, 2L, 3L, 4L, 5L))
+    // identical content → identical features (deterministic stub)
+    val byId = feats.map(r =>
+      r.getAs[Long]("media_id") -> r.getSeq[Double](r.fieldIndex("features"))).toMap
+    assert(byId(1L) == byId(2L))
+    val withDur = media.withColumn("meta", struct(col("meta.format"),
+      col("meta.width"), col("meta.height"), lit(2000L).as("duration_ms")))
+    val frames = Multimodal.frameSamplePlan(withDur, 500L)
+    assert(frames.count() == 5 * 5) // 0,500,1000,1500,2000 per doc
+  }
+}

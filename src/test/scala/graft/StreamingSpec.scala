@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStream
+
+/** The streaming plans must produce exactly the batch results when fed the
+  * same parquet — one batch of files driven synchronously through the
+  * memory sink.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // FileStreamSource needs a directory: stage the single events file into one
+  lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  test("streaming hourly agg == batch hourly agg") {
+    val stream = EventStream.readEvents(spark, dir)
+    assert(stream.isStreaming)
+    val q = EventStream.hourlyAgg(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hourly_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("hourly_out")
+      .orderBy("hour_ts", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+
+    val batch = EventStream.normalize(Tables.events(spark, "/root/testdata/sf0.001"))
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_ts"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .orderBy("hour_ts", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+
+    assert(got.length == batch.length && got.sameElements(batch))
+  }
+
+  test("stateful running user stats accumulate all events") {
+    val stream = EventStream.readEvents(spark, dir)
+    val q = EventStream.runningUserStats(spark, stream)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("user_stats").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("user_stats")
+      .groupBy("userId").agg(max("events").as("events"))
+    val batch = Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(col("user_id").as("userId")).agg(count(lit(1)).as("events"))
+    val diff = got.join(batch, "userId")
+      .filter(got("events") =!= batch("events")).count()
+    assert(diff == 0)
+    assert(got.count() == batch.count())
+  }
+}

@@ -18,9 +18,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # canonical row order: sort by all columns stringified
+    # canonical row order: sort by all columns in cell-normalized form (so
+    # int64 vs float64 dtype skew between engines can't reorder rows)
     if len(df) > 0:
-        key = df.astype(str).agg("|".join, axis=1)
+        key = df.map(cell).agg("|".join, axis=1)
         df = df.iloc[key.argsort(kind="stable")].reset_index(drop=True)
     return df
 
