@@ -43,6 +43,16 @@ object EventQueries {
         .select("user_id", "event_id", "last_signup")
         .orderBy("user_id", "event_id")
     }),
+    // hopping-window aggregate (1 h window, 30 min slide) — the batch form
+    // of the Structured Streaming sliding window; every event lands in
+    // exactly two windows.
+    "e5_sliding_agg" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .select(unix_timestamp(col("window.start")).as("win_start"),
+          col("event_type"), col("n"), col("total"))
+        .orderBy("win_start", "event_type")),
     // per-session aggregate on top of sessionization
     "e4_session_stats" -> ((s, d) => {
       val sess = queries("e2_sessionize")(s, d)
@@ -78,6 +88,15 @@ object EventQueries {
              OVER (PARTITION BY user_id ORDER BY sec, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup
          FROM ev ORDER BY user_id, event_id""",
+    "e5_sliding_agg" ->
+      """WITH w AS (
+           SELECT event_type, value,
+             CAST(floor(floor(epoch(ts)) / 1800) * 1800 AS BIGINT) AS s30
+           FROM events),
+         x AS (
+           SELECT event_type, value, unnest([s30, s30 - 1800]) AS win_start FROM w)
+         SELECT win_start, event_type, count(*) AS n, round(sum(value), 2) AS total
+         FROM x GROUP BY win_start, event_type ORDER BY win_start, event_type""",
     "e4_session_stats" ->
       s"""WITH ev AS (
            SELECT user_id, event_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS sec

@@ -9,7 +9,8 @@ object Registry {
   private def providers: Seq[(Map[String, Q], Map[String, String])] = Seq(
     (Relational.queries, Relational.oracleSql),
     (LlmQueries.queries, LlmQueries.oracleSql),
-    (EventQueries.queries, EventQueries.oracleSql)
+    (EventQueries.queries, EventQueries.oracleSql),
+    (GeoQueries.queries, GeoQueries.oracleSql)
   )
 
   def queries: Map[String, Q] = providers.map(_._1).reduce(_ ++ _)

@@ -45,11 +45,40 @@ object Spatial {
     if (edges.columns.contains(BBoxCol)) edges
     else edges.withColumn(BBoxCol, GeoFunctions.envelope(col("geom.coordinates")))
 
-  /** Features whose MBR intersects the bbox (ref `feature_table.py:120-162`). */
+  /** Grid cells overlapping a bbox, padded by one cell ring. The pad covers
+    * edges whose bbox center (the cell key) lies one cell outside the query
+    * box; edges longer than `cellDeg` (~1.1 km default) would need
+    * multi-cell duplication at write — acceptable for street-scale
+    * geometry, documented as the layout's contract.
+    */
+  private[spatial] def cellsFor(left: Double, bottom: Double, right: Double,
+      top: Double, cellDeg: Double): Option[Seq[Long]] = {
+    val r0 = math.floor((bottom + 90.0) / cellDeg).toLong - 1
+    val r1 = math.floor((top + 90.0) / cellDeg).toLong + 1
+    val c0 = math.floor((left + 180.0) / cellDeg).toLong - 1
+    val c1 = math.floor((right + 180.0) / cellDeg).toLong + 1
+    val n = (r1 - r0 + 1) * (c1 - c0 + 1)
+    if (n <= 0 || n > 4096) None // huge box: scan beats an isin of 4k+ cells
+    else Some(for (r <- r0 to r1; c <- c0 to c1) yield r * 100000L + c)
+  }
+
+  /** Features whose MBR intersects the bbox (ref `feature_table.py:120-162`).
+    * When the frame carries the `_cell` partition column, a derived
+    * cell-set predicate turns the query into a partition-pruned scan —
+    * the columnar replacement for the reference's R-tree probe.
+    */
   def intersects(edges: DataFrame, left: Double, bottom: Double,
-      right: Double, top: Double): DataFrame = {
+      right: Double, top: Double, cellDeg: Double = DefaultCellDeg): DataFrame = {
     val e = ensureBBox(edges)
-    e.filter(GeoFunctions.bboxIntersects(col(BBoxCol), left, bottom, right, top))
+    val boxFilter = GeoFunctions.bboxIntersects(col(BBoxCol), left, bottom, right, top)
+    val pruned =
+      if (e.columns.contains(CellCol))
+        cellsFor(left, bottom, right, top, cellDeg) match {
+          case Some(cells) => e.filter(col(CellCol).isin(cells: _*))
+          case None        => e
+        }
+      else e
+    pruned.filter(boxFilter)
   }
 
   /** Candidate set for a distance query: bbox of the point buffered by

@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.PropertyGraph
+import graft.spatial.Spatial
+import graft.store.GraphPackage
+
+/** Physical-plan assertions — the scale story must be visible in
+  * `explain`: filters reach the parquet scan, spatial queries prune
+  * partitions, small dimensions broadcast, hot paths stay in
+  * whole-stage codegen.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  lazy val pkgDir: String = {
+    val dir = Files.createTempDirectory("graft-plan").resolve("g.graft").toString
+    val g = PropertyGraph.fromGeoJson(spark, Seq(Fixture.path))
+    GraphPackage.save(g, dir)
+    dir
+  }
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("point lookup pushes key predicates into the parquet scan") {
+    val g = GraphPackage.load(spark, pkgDir)
+    val p = plan(g.getEdge(Fixture.TestNode1, Fixture.TestNode2))
+    assert(p.contains("PushedFilters:") && p.contains("IsNotNull(_u)"),
+      s"no pushed filters in:\n$p")
+    assert(p.contains("EqualTo(_u,") && p.contains("EqualTo(_v,"))
+  }
+
+  test("bbox query prunes grid-cell partitions, not just rows") {
+    val g = GraphPackage.load(spark, pkgDir)
+    val df = Spatial.intersects(g.edges, -122.315, 47.659, -122.313, 47.660)
+    val p = plan(df)
+    assert(p.contains("PartitionFilters:") && p.contains("_cell"),
+      s"no partition filters in:\n$p")
+    // and still returns the right rows after pruning
+    assert(df.count() == 8)
+  }
+
+  test("dwithin off the stored layout matches the reference result post-pruning") {
+    val g = GraphPackage.load(spark, pkgDir)
+    assert(Spatial.dwithin(g.edges, -122.3132940, 47.6598762, 0.1).count() == 2)
+  }
+
+  test("fk join broadcasts the small dimension") {
+    val q = SparkEntry.queries("j1_join_fk")(spark, "/root/testdata/sf0.001")
+    val p = plan(q)
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+  }
+
+  test("q1 aggregation runs inside whole-stage codegen with pruned scan schema") {
+    val q = SparkEntry.queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    // only the 5 needed columns are read (schema pruning)
+    val p0 = plan(q)
+    assert(p0.contains("l_returnflag") && !p0.contains("l_shipdate"),
+      s"scan schema not pruned:\n$p0")
+    // AQE finalizes codegen stages only at execution time (collect on the
+    // same Dataset so this queryExecution is the one that runs)
+    q.collect()
+    val p1 = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // formatted mode marks codegen'd operators with "[codegen id : N]"
+    assert(p1.contains("codegen id"), s"no codegen stage in:\n$p1")
+  }
+
+  test("embedding dot product is a native codegen expression, not a UDF") {
+    val e = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = graft.llm.Similarity.topSimilarPairs(e, "vec_id", "embedding", 5)
+    val p = plan(q)
+    assert(p.contains("dot_product"), s"dot_product expression missing:\n$p")
+    assert(!p.contains("UDF"), s"unexpected UDF in similarity plan:\n$p")
+  }
+}
