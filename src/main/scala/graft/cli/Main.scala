@@ -50,6 +50,25 @@ object Main {
       val res = Spatial.dwithin(g.edges, lon.toDouble, lat.toDouble, dist.toDouble, sort = true)
       res.select("_u", "_v", "_distance").show(50, truncate = false)
 
+    // storage-boundary interop: edges re-encoded with GeoPackage-binary
+    // geometry (GP header + WKB) for external consumers, and back.
+    case "export-gpkg" :: pkg :: out :: Nil =>
+      val g = GraphPackage.load(spark, pkg)
+      g.edges
+        .withColumn("geom_wkb", graft.geo.Wkb.lineToGpkg(
+          org.apache.spark.sql.functions.col("geom.coordinates")))
+        .drop("geom")
+        .write.mode("overwrite").parquet(out)
+      println(s"exported ${spark.read.parquet(out).count()} edges with GeoPackage-binary geometry to $out")
+
+    case "import-gpkg" :: in :: Nil =>
+      import org.apache.spark.sql.functions._
+      val df = spark.read.parquet(in)
+      val coords = graft.geo.Wkb.gpkgToCoords(col("geom_wkb"))
+      val back = df.withColumn("geom",
+        struct(lit("LineString").as("type"), coords.as("coordinates")))
+      println(s"imported ${back.filter(size(col("geom.coordinates")) >= 2).count()} edges from $in")
+
     case "route" :: pkg :: u :: v :: rest =>
       val weight = rest.headOption.getOrElse("_length")
       val g = GraphPackage.load(spark, pkg)
