@@ -89,6 +89,42 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) ANN: vectors are assigned to their nearest
+    * centroid once (a stored bucket column at scale); a query probes only
+    * the `nProbe` centroids nearest to it, then runs exact cosine on that
+    * fraction of the corpus. Centroids here are the first `nCentroids`
+    * vectors by id — deterministic and oracle-friendly; k-means refinement
+    * drops in without changing the query path.
+    */
+  def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      queryVec: Seq[Double], k: Int, nCentroids: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val cents: Array[(Int, Array[Double])] = embeddings.orderBy(col(idCol))
+      .limit(nCentroids).select(col(vecCol).cast("array<double>"))
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
+
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val assign = udf((v: Seq[Double]) => {
+      val arr = v.toArray
+      cents.maxBy { case (_, c) => cos(arr, c) }._1
+    })
+    val probes = cents.sortBy { case (_, c) => -cos(queryVec.toArray, c) }
+      .take(nProbe).map(_._1).toSeq
+
+    val q = array(queryVec.map(lit): _*)
+    embeddings
+      .withColumn("_cid", assign(col(vecCol).cast("array<double>")))
+      .filter(col("_cid").isin(probes: _*))
+      .select(col(idCol), cosine(col(vecCol), q).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Top-`k` most-similar pairs across the corpus (brute force, for the
     * oracle gate; LSH/banding covers the 100 TB path). Norms are computed
     * once per vector before the pair join, not once per pair.

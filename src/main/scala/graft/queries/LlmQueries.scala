@@ -73,6 +73,14 @@ object LlmQueries {
         .orderBy(col("sim").desc, col("vec_id"))
         .limit(10)
     }),
+    "ann_ivf_topk" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head.getSeq[Float](0).map(_.toDouble)
+      Similarity.ivfTopK(e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        qv, 10, nCentroids = 16, nProbe = 6)
+        .select(col("vec_id"), round(col("sim"), 4).as("sim"))
+    }),
     "ann_lsh_topk" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       val qv = e.filter(col("vec_id") === 0).select(col("embedding"))

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SkewOps
+
+/** The scale patterns must be both correct and visible in the plan:
+  * salting preserves aggregate values, bucketing removes the join
+  * exchange, IVF keeps recall.
+  */
+class ScaleOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("salted aggregation equals plain aggregation on a skewed key") {
+    val li = Tables.t(spark, "/root/testdata/sf0.001", "lineitem")
+    val salted = SkewOps.saltedAgg(li, "l_returnflag", Some("l_quantity"),
+        salts = 8, saltSource = col("l_orderkey"))
+      .orderBy("l_returnflag")
+      .collect().map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2) * 100)))
+    val plain = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("total"))
+      .orderBy("l_returnflag")
+      .collect().map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2) * 100)))
+    assert(salted.sameElements(plain))
+  }
+
+  test("salted join equals plain join") {
+    val li = Tables.t(spark, "/root/testdata/sf0.001", "lineitem")
+    val sup = Tables.t(spark, "/root/testdata/sf0.001", "supplier")
+      .withColumnRenamed("s_suppkey", "l_suppkey")
+    val salted = SkewOps.saltedJoin(li, sup, "l_suppkey", salts = 4,
+      bigSaltSource = col("l_orderkey"))
+    val plain = li.join(sup, "l_suppkey")
+    assert(salted.count() == plain.count())
+    val a = salted.groupBy("s_name").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = plain.groupBy("s_name").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val li = Tables.t(spark, "/root/testdata/sf0.001", "lineitem")
+    val or = Tables.t(spark, "/root/testdata/sf0.001", "orders")
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS or_b")
+    // a previous JVM's in-memory catalog is gone but its warehouse dirs
+    // survive → LOCATION_ALREADY_EXISTS unless cleared
+    Seq("li_b", "or_b").foreach { t =>
+      val p = java.nio.file.Paths.get(new java.net.URI(wh).getPath, t)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_b")
+    or.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("or_b")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("li_b").join(spark.table("or_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(j.count() == li.count()) // every lineitem has its order
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("IVF ANN recall vs brute force") {
+    val e = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val qv = e.filter(col("vec_id") === 0).select("embedding")
+      .head.getSeq[Float](0).map(_.toDouble)
+    val rest = e.filter(col("vec_id") =!= 0)
+    val brute = graft.llm.Similarity.bruteForceTopK(rest, "vec_id", "embedding", qv, 10)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = graft.llm.Similarity.ivfTopK(rest, "vec_id", "embedding", qv, 10,
+        nCentroids = 16, nProbe = 6)
+      .collect().map(_.getLong(0)).toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall; ivf=$ivf brute=$brute")
+  }
+}
