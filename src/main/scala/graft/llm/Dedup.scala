@@ -102,7 +102,7 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val sig = minhashSignature(col(textCol), numHashes, shingleN)
-    df.select(col(idCol), posexplode(transform(
+    graft.operators.Par.fanOut(df).select(col(idCol), posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws("_", b, concat_ws(",", slice(sig, b * r + 1, lit(r)))))))
       .as(Seq("band", "bucket")))
@@ -209,7 +209,8 @@ object Dedup {
     */
   def ngramJaccardPairsBitset(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 2): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    val sh = graft.operators.Par.fanOut(df)
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
     val vocab = sh.select(explode(col("sh")).as("s")).distinct()
       .select(col("s"), (row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy("s")) - 1).as("sid"))

@@ -73,7 +73,7 @@ object Multimodal {
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(featureSchema)
-    media.select("media_id", "content").mapPartitions { rows =>
+    graft.operators.Par.fanOut(media.select("media_id", "content")).mapPartitions { rows =>
       // per-partition decoder init would go here
       rows.map { r =>
         val (w, h, f) = decodeStub(r.getAs[Array[Byte]]("content"))

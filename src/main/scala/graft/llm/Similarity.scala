@@ -134,7 +134,8 @@ object Similarity {
     val prepped = embeddings.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", norm(col("v")))
-    val a = prepped.select(col("id").as("a"), col("v").as("va"), col("nrm").as("na"))
+    val a = graft.operators.Par.fanOut(
+      prepped.select(col("id").as("a"), col("v").as("va"), col("nrm").as("na")))
     val b = prepped.select(col("id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
     a.crossJoin(b).filter(col("a") < col("b"))
       .select(col("a"), col("b"),

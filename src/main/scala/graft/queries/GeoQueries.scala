@@ -63,21 +63,23 @@ object GeoQueries {
     // induced by shared orders — iterative frontier joins, the DataFrame
     // form of a Pregel superstep loop.
     "j3_bfs_hops" -> ((s, d) => {
-      val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
-      val a = li.toDF("ok", "src")
-      val b = li.toDF("ok", "dst")
-      val edges = a.join(b, "ok").filter(col("src") =!= col("dst"))
-        .select("src", "dst").distinct().cache()
+      // frontier expansion as two semi-joins per hop (parts → their
+      // orders → those orders' parts): the co-membership edge set
+      // (|li|²/|orders| pairs) is never materialized — the 100 TB-safe
+      // formulation of an iterated self-join traversal
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey").cache()
       import s.implicits._
       var visited = Seq((0L, 0)).toDF("p", "depth")
-      var frontier = visited
+      var frontier = visited.select("p")
       for (i <- 1 to 3) {
-        val next = frontier.join(edges, frontier("p") === edges("src"))
-          .select(col("dst").as("p")).distinct()
+        val ords = li.join(broadcast(frontier), li("l_partkey") === frontier("p"), "left_semi")
+          .select("l_orderkey").distinct()
+        val next = li.join(broadcast(ords), Seq("l_orderkey"), "left_semi")
+          .select(col("l_partkey").as("p")).distinct()
           .join(visited, Seq("p"), "left_anti")
           .withColumn("depth", lit(i))
         visited = visited.unionByName(next).cache()
-        frontier = next
+        frontier = next.select("p")
       }
       visited.orderBy("p")
     })
