@@ -238,6 +238,34 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
+  /** Duplicate-cluster resolution: near-dup pairs form a graph whose
+    * connected components are duplicate clusters; GraphX CC labels every
+    * member with the minimum id in its component (the representative).
+    * Returns (id, cluster).
+    */
+  def clusters(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.graphx.{Edge => GXEdge, Graph => GXGraph}
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select(col("a").cast("long"), col("b").cast("long"))
+      .rdd.map(r => GXEdge(r.getLong(0), r.getLong(1), 1))
+    GXGraph.fromEdges(edges, 0).connectedComponents()
+      .vertices.toDF("id", "cluster")
+  }
+
+  /** End-to-end near-duplicate removal: MinHash-LSH candidate pairs →
+    * Jaccard-verified edges → connected components → keep each cluster's
+    * min-id representative plus every unpaired document.
+    */
+  def dedupNear(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.6): DataFrame = {
+    val pairs = minhashNearDups(df, idCol, textCol, threshold)
+    val comp = clusters(pairs)
+    df.join(comp, df(idCol) === comp("id"), "left")
+      .filter(col("cluster").isNull || col("cluster") === col(idCol))
+      .drop("id", "cluster")
+  }
+
   /** Adaptive exact Jaccard: bitset path when the shingle vocabulary is
     * small enough to dictionary-encode (≤ 64k), inverted-index join
     * otherwise. Both return identical (a, b, jaccard) rows; pairs with

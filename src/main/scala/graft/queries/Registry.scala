@@ -10,7 +10,8 @@ object Registry {
     (Relational.queries, Relational.oracleSql),
     (LlmQueries.queries, LlmQueries.oracleSql),
     (EventQueries.queries, EventQueries.oracleSql),
-    (GeoQueries.queries, GeoQueries.oracleSql)
+    (GeoQueries.queries, GeoQueries.oracleSql),
+    (GraphBenchQueries.queries, GraphBenchQueries.oracleSql)
   )
 
   def queries: Map[String, Q] = providers.map(_._1).reduce(_ ++ _)

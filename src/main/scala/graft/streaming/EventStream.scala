@@ -38,6 +38,38 @@ object EventStream {
       .select(unix_timestamp(col("window.start")).as("hour_ts"),
         col("event_type"), col("n"), col("total"))
 
+  /** Streaming gap-based sessionization via flatMapGroupsWithState: state
+    * carries (last event second, session counter) per user; each batch's
+    * rows are ordered and numbered continuing from state. Produces exactly
+    * the batch `e2_sessionize` assignment when batches arrive in event-time
+    * order (file streams / watermarked sources).
+    */
+  case class SessState(lastSec: Long, session: Long)
+
+  def sessionize(spark: SparkSession, events: DataFrame,
+      gapSec: Long = 1800L): DataFrame = {
+    import spark.implicits._
+    val typed = normalize(events)
+      .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("sec"))
+      .as[(Long, Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[SessState, (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          val sorted = rows.toSeq.sortBy(r => (r._3, r._2))
+          var (lastSec, sess) = state.getOption
+            .map(s => (s.lastSec, s.session)).getOrElse((Long.MinValue, 0L))
+          val out = sorted.map { case (_, eid, sec) =>
+            if (lastSec == Long.MinValue || sec - lastSec > gapSec) sess += 1
+            lastSec = sec
+            (uid, eid, sess)
+          }
+          state.update(SessState(lastSec, sess))
+          out.iterator
+      }
+      .toDF("user_id", "event_id", "session_id")
+  }
+
   /** Stateful per-user running counters via mapGroupsWithState — the
     * custom-state extension point (session tracking, rate limiting, …).
     */

@@ -61,6 +61,13 @@ class LlmSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
   }
 
+  test("near-dup dedup pipeline keeps one representative per cluster plus singletons") {
+    val kept = Dedup.dedupNear(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // docs 1,2,3 form one near-dup cluster (rep = 1); 4 and 5 are unpaired
+    assert(kept == Set(1L, 4L, 5L))
+  }
+
   test("ngram jaccard: exact dup = 1.0, near-dup high, unrelated ~0") {
     val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

@@ -42,6 +42,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.length == batch.length && got.sameElements(batch))
   }
 
+  test("streaming sessionization == batch sessionization") {
+    val stream = EventStream.readEvents(spark, dir)
+    val q = EventStream.sessionize(spark, stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("sess_out")
+    val batch = SparkEntry.queries("e2_sessionize")(spark, "/root/testdata/sf0.001")
+    assert(got.count() == batch.count())
+    val diff = got.join(batch.withColumnRenamed("session_id", "batch_session"),
+        Seq("user_id", "event_id"))
+      .filter(col("session_id") =!= col("batch_session")).count()
+    assert(diff == 0)
+  }
+
   test("stateful running user stats accumulate all events") {
     val stream = EventStream.readEvents(spark, dir)
     val q = EventStream.runningUserStats(spark, stream)
