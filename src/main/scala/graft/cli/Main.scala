@@ -47,7 +47,7 @@ object Main {
 
     case "dwithin" :: pkg :: lon :: lat :: dist :: Nil =>
       val g = GraphPackage.load(spark, pkg)
-      val res = Spatial.dwithin(g.edges, lon.toDouble, lat.toDouble, dist.toDouble, sort = true)
+      val res = g.dwithin(lon.toDouble, lat.toDouble, dist.toDouble, sort = true)
       res.select("_u", "_v", "_distance").show(50, truncate = false)
 
     // storage-boundary interop: edges re-encoded with GeoPackage-binary

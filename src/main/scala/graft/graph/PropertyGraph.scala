@@ -24,7 +24,19 @@ import graft.geo.GeoFunctions
   * adjacency as a distributed join/aggregation instead of the reference's
   * SQL-query-per-node protocol (`outer_adjlists.py`/`inner_adjlists.py`).
   */
-class PropertyGraph(val nodes: DataFrame, val edges: DataFrame) {
+class PropertyGraph(val nodes: DataFrame, val edges: DataFrame,
+    val cellDeg: Double = graft.spatial.Spatial.DefaultCellDeg) {
+
+  // ---- spatial queries (G1-G3), using this graph's grid-cell size so
+  // partition pruning stays correct for packages saved with a custom cell ----
+  def intersects(left: Double, bottom: Double, right: Double, top: Double): DataFrame =
+    graft.spatial.Spatial.intersects(edges, left, bottom, right, top, cellDeg)
+
+  def dwithin(lon: Double, lat: Double, distance: Double, sort: Boolean = false): DataFrame =
+    graft.spatial.Spatial.dwithin(edges, lon, lat, distance, sort, cellDeg)
+
+  def nearestK(lon: Double, lat: Double, k: Int, radius: Double = 10000.0): DataFrame =
+    graft.spatial.Spatial.nearestK(edges, lon, lat, k, radius, cellDeg)
 
   // ---- point lookups (P1-P3) ----
   /** Edge attributes for (u,v) (ref `edge_table.py:136-145`). */
@@ -118,7 +130,7 @@ class PropertyGraph(val nodes: DataFrame, val edges: DataFrame) {
         nodes.unionByName(graft.ingest.GeoJsonIngest.deriveNodes(newEdges),
           allowMissingColumns = true).dropDuplicates("_n")
       else nodes
-    new PropertyGraph(mergedNodes, merged)
+    new PropertyGraph(mergedNodes, merged, cellDeg)
   }
 
   /** Batch update of edge attributes by key — read-modify-write join
@@ -136,7 +148,7 @@ class PropertyGraph(val nodes: DataFrame, val edges: DataFrame) {
         d.withColumn(c, coalesce(col(s"_upd_$c"), col(c)))
       else d.withColumn(c, col(s"_upd_$c"))
     }
-    new PropertyGraph(nodes, out.drop(updCols.map(c => s"_upd_$c"): _*))
+    new PropertyGraph(nodes, out.drop(updCols.map(c => s"_upd_$c"): _*), cellDeg)
   }
 
   // ---- memory/promotion (S10) ----
@@ -153,12 +165,13 @@ class PropertyGraph(val nodes: DataFrame, val edges: DataFrame) {
     * `graphs/digraphdb/__init__.py:16-93`): exposes no write methods at the
     * type level instead of raising ImmutableGraphError at runtime.
     */
-  def view: PropertyGraphView = new PropertyGraphView(nodes, edges)
+  def view: PropertyGraphView = new PropertyGraphView(nodes, edges, cellDeg)
 }
 
 /** Immutable view: same read surface, no write methods (ref M5). */
-final class PropertyGraphView(nodes: DataFrame, edges: DataFrame)
-    extends PropertyGraph(nodes, edges) {
+final class PropertyGraphView(nodes: DataFrame, edges: DataFrame,
+    cellDeg: Double = graft.spatial.Spatial.DefaultCellDeg)
+    extends PropertyGraph(nodes, edges, cellDeg) {
   override def addEdges(newEdges: DataFrame): PropertyGraph =
     throw new UnsupportedOperationException("immutable graph view")
   override def updateEdges(updates: DataFrame): PropertyGraph =

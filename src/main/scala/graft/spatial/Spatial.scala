@@ -85,11 +85,11 @@ object Spatial {
     * `distance` meters (ref `dwithin_rtree`, `feature_table.py:164-196`).
     */
   def dwithinCandidates(edges: DataFrame, lon: Double, lat: Double,
-      distance: Double): DataFrame = {
+      distance: Double, cellDeg: Double = DefaultCellDeg): DataFrame = {
     val dLat = distance / Geo.MetersPerDeg
     val cosLat = math.max(math.cos(math.toRadians(lat)), 1e-12)
     val dLon = distance / (Geo.MetersPerDeg * cosLat)
-    intersects(edges, lon - dLon, lat - dLat, lon + dLon, lat + dLat)
+    intersects(edges, lon - dLon, lat - dLat, lon + dLon, lat + dLat, cellDeg)
   }
 
   /** Exact distance query (ref `dwithin`, `feature_table.py:198-235`):
@@ -97,8 +97,8 @@ object Spatial {
     * returned frame carries the distance as `_distance`.
     */
   def dwithin(edges: DataFrame, lon: Double, lat: Double, distance: Double,
-      sort: Boolean = false): DataFrame = {
-    val refined = dwithinCandidates(edges, lon, lat, distance)
+      sort: Boolean = false, cellDeg: Double = DefaultCellDeg): DataFrame = {
+    val refined = dwithinCandidates(edges, lon, lat, distance, cellDeg)
       .withColumn("_distance",
         GeoFunctions.pointLineDistance(lon, lat, col("geom.coordinates")))
       .filter(col("_distance") < distance)
@@ -109,8 +109,8 @@ object Spatial {
     * the candidate prune at `radius` meters keeping the refine set small.
     */
   def nearestK(edges: DataFrame, lon: Double, lat: Double, k: Int,
-      radius: Double = 10000.0): DataFrame =
-    dwithinCandidates(edges, lon, lat, radius)
+      radius: Double = 10000.0, cellDeg: Double = DefaultCellDeg): DataFrame =
+    dwithinCandidates(edges, lon, lat, radius, cellDeg)
       .withColumn("_distance",
         GeoFunctions.pointLineDistance(lon, lat, col("geom.coordinates")))
       .orderBy("_distance")

@@ -58,7 +58,21 @@ object GraphPackage {
   def load(spark: SparkSession, path: String): PropertyGraph = {
     val nodes = spark.read.parquet(s"$path/nodes")
     val edges = spark.read.parquet(s"$path/edges")
-    new PropertyGraph(nodes, edges)
+    new PropertyGraph(nodes, edges, readCellDeg(path))
+  }
+
+  /** cell_deg from metadata.json, so spatial partition pruning uses the
+    * same grid the package was written with (a mismatched cell size would
+    * silently prune wrong partitions).
+    */
+  private def readCellDeg(path: String): Double = {
+    val metaPath = Paths.get(path, "metadata.json")
+    if (!Files.exists(metaPath)) Spatial.DefaultCellDeg
+    else {
+      val txt = Files.readString(metaPath)
+      "\"cell_deg\":\\s*([0-9.Ee+-]+)".r.findFirstMatchIn(txt)
+        .map(_.group(1).toDouble).getOrElse(Spatial.DefaultCellDeg)
+    }
   }
 
   private def deleteRecursive(p: Path): Unit =

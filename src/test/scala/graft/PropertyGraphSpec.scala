@@ -82,6 +82,15 @@ class PropertyGraphSpec extends AnyFunSuite {
     assert(Files.exists(java.nio.file.Paths.get(dir, "metadata.json")))
   }
 
+  test("custom cell size survives save/load and keeps pruning correct") {
+    val dir = Files.createTempDirectory("graft-cell").resolve("c.graft").toString
+    GraphPackage.save(g, dir, cellDeg = 0.5)
+    val g2 = GraphPackage.load(spark, dir)
+    assert(g2.cellDeg == 0.5)
+    assert(g2.dwithin(-122.3132940, 47.6598762, 0.1).count() == 2)
+    assert(g2.intersects(-123, 47, -122, 48).count() == 8)
+  }
+
   test("addEdges upsert is last-wins on (_u,_v) (feature_table.py:601-613)") {
     import spark.implicits._
     val upd = Seq((Fixture.TestNode1, Fixture.TestNode2, 99.9))
