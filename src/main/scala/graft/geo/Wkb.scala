@@ -70,10 +70,20 @@ object Wkb {
   def decodeGpkg(gp: Array[Byte]): (Int, Array[Byte]) = {
     require(gp.length > 8 && gp(0) == 'G'.toByte && gp(1) == 'P'.toByte,
       "not GeoPackage binary")
+    val flags = gp(3)
     val buf = ByteBuffer.wrap(gp, 4, 4)
-    buf.order(if ((gp(3) & 0x01) == 1) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    buf.order(if ((flags & 0x01) == 1) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
     val srid = buf.getInt()
-    (srid, java.util.Arrays.copyOfRange(gp, 8, gp.length))
+    // envelope indicator (flags bits 1-3): external writers (GDAL/QGIS)
+    // usually include one; skip it to reach the WKB
+    val envBytes = ((flags >> 1) & 0x7) match {
+      case 0 => 0
+      case 1 => 32 // xy
+      case 2 | 3 => 48 // xy + z or m
+      case 4 => 64 // xy + z + m
+      case e => throw new IllegalArgumentException(s"invalid envelope indicator $e")
+    }
+    (srid, java.util.Arrays.copyOfRange(gp, 8 + envBytes, gp.length))
   }
 
   // ---- Column functions (storage-boundary only; not on hot paths) ----

@@ -25,18 +25,26 @@ import graft.geo.GeoFunctions
   * SQL-query-per-node protocol (`outer_adjlists.py`/`inner_adjlists.py`).
   */
 class PropertyGraph(val nodes: DataFrame, val edges: DataFrame,
-    val cellDeg: Double = graft.spatial.Spatial.DefaultCellDeg) {
+    val cellDeg: Double = graft.spatial.Spatial.DefaultCellDeg,
+    /** Physical cell-partitioned layout (one row per overlapped grid cell,
+      * from a stored package); spatial queries prune on it, while `edges`
+      * stays the logical one-row-per-edge set that counts/joins use.
+      */
+    val spatialEdges: Option[DataFrame] = None) {
 
-  // ---- spatial queries (G1-G3), using this graph's grid-cell size so
-  // partition pruning stays correct for packages saved with a custom cell ----
+  // ---- spatial queries (G1-G3), on the duplicated physical layout when
+  // loaded from a package, with this graph's grid-cell size ----
   def intersects(left: Double, bottom: Double, right: Double, top: Double): DataFrame =
-    graft.spatial.Spatial.intersects(edges, left, bottom, right, top, cellDeg)
+    graft.spatial.Spatial.intersects(spatialEdges.getOrElse(edges),
+      left, bottom, right, top, cellDeg)
 
   def dwithin(lon: Double, lat: Double, distance: Double, sort: Boolean = false): DataFrame =
-    graft.spatial.Spatial.dwithin(edges, lon, lat, distance, sort, cellDeg)
+    graft.spatial.Spatial.dwithin(spatialEdges.getOrElse(edges),
+      lon, lat, distance, sort, cellDeg)
 
   def nearestK(lon: Double, lat: Double, k: Int, radius: Double = 10000.0): DataFrame =
-    graft.spatial.Spatial.nearestK(edges, lon, lat, k, radius, cellDeg)
+    graft.spatial.Spatial.nearestK(spatialEdges.getOrElse(edges),
+      lon, lat, k, radius, cellDeg)
 
   // ---- point lookups (P1-P3) ----
   /** Edge attributes for (u,v) (ref `edge_table.py:136-145`). */
@@ -78,9 +86,12 @@ class PropertyGraph(val nodes: DataFrame, val edges: DataFrame,
 
   /** Sum of a weight column over all edges, or edge count when absent
     * (nx `size(weight)`, ref `graphs/digraphdb/__init__.py:62-66`).
+    * Null/empty sums are 0; integer weight columns are widened.
     */
   def size(weight: String): Double =
-    edges.agg(sum(col(weight))).head.getDouble(0)
+    if (!edges.columns.contains(weight)) size().toDouble
+    else edges.agg(coalesce(sum(col(weight).cast("double")), lit(0.0)))
+      .head.getDouble(0)
 
   /** Out-degree of one node — the documented intent of the reference's
     * `unique_successors` (whose own WHERE clause self-counts `_u`, a latent
@@ -117,7 +128,12 @@ class PropertyGraph(val nodes: DataFrame, val edges: DataFrame,
     * ALTER TABLE (`feature_table.py:475-496`).
     */
   def addEdges(newEdges: DataFrame): PropertyGraph = {
-    val old = edges.withColumn("_gen", lit(0L))
+    import graft.spatial.Spatial
+    // stale spatial columns would otherwise survive the union as nulls on
+    // the new rows and silently hide them from every spatial query — strip
+    // them; they are recomputed at the next package save
+    val spatialCols = Seq(Spatial.BBoxCol, Spatial.CellCol).filter(edges.columns.contains)
+    val old = edges.drop(spatialCols: _*).withColumn("_gen", lit(0L))
     val add = newEdges.withColumn("_gen", lit(1L))
     val all = old.unionByName(add, allowMissingColumns = true)
     val w = Window.partitionBy("_u", "_v").orderBy(col("_gen").desc)
@@ -125,11 +141,15 @@ class PropertyGraph(val nodes: DataFrame, val edges: DataFrame,
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_rn", "_gen")
-    val mergedNodes =
+    // endpoint nodes always derive from the new edges (ref
+    // edge_table.py:5-33) — with a Point geometry when available
+    val newNodes =
       if (newEdges.columns.contains("geom"))
-        nodes.unionByName(graft.ingest.GeoJsonIngest.deriveNodes(newEdges),
-          allowMissingColumns = true).dropDuplicates("_n")
-      else nodes
+        graft.ingest.GeoJsonIngest.deriveNodes(newEdges)
+      else newEdges.select(explode(array(col("_u"), col("_v"))).as("_n")).distinct()
+    val mergedNodes = nodes
+      .unionByName(newNodes, allowMissingColumns = true)
+      .dropDuplicates("_n")
     new PropertyGraph(mergedNodes, merged, cellDeg)
   }
 
@@ -141,7 +161,11 @@ class PropertyGraph(val nodes: DataFrame, val edges: DataFrame,
     */
   def updateEdges(updates: DataFrame): PropertyGraph = {
     val updCols = updates.columns.filterNot(c => c == "_u" || c == "_v")
-    val renamed = updCols.foldLeft(updates)((d, c) => d.withColumnRenamed(c, s"_upd_$c"))
+    // duplicate update keys would fan matched edges out through the join,
+    // breaking the (_u,_v)-unique invariant; a DataFrame batch has no row
+    // order to honor, so keep one arbitrary-but-single row per key
+    val renamed = updCols.foldLeft(updates.dropDuplicates("_u", "_v"))(
+      (d, c) => d.withColumnRenamed(c, s"_upd_$c"))
     val joined = edges.join(renamed, Seq("_u", "_v"), "left")
     val out = updCols.foldLeft(joined) { (d, c) =>
       if (edges.columns.contains(c))
@@ -165,13 +189,14 @@ class PropertyGraph(val nodes: DataFrame, val edges: DataFrame,
     * `graphs/digraphdb/__init__.py:16-93`): exposes no write methods at the
     * type level instead of raising ImmutableGraphError at runtime.
     */
-  def view: PropertyGraphView = new PropertyGraphView(nodes, edges, cellDeg)
+  def view: PropertyGraphView = new PropertyGraphView(nodes, edges, cellDeg, spatialEdges)
 }
 
 /** Immutable view: same read surface, no write methods (ref M5). */
 final class PropertyGraphView(nodes: DataFrame, edges: DataFrame,
-    cellDeg: Double = graft.spatial.Spatial.DefaultCellDeg)
-    extends PropertyGraph(nodes, edges, cellDeg) {
+    cellDeg: Double = graft.spatial.Spatial.DefaultCellDeg,
+    spatialEdges: Option[DataFrame] = None)
+    extends PropertyGraph(nodes, edges, cellDeg, spatialEdges) {
   override def addEdges(newEdges: DataFrame): PropertyGraph =
     throw new UnsupportedOperationException("immutable graph view")
   override def updateEdges(updates: DataFrame): PropertyGraph =

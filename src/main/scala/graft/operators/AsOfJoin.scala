@@ -27,16 +27,24 @@ object AsOfJoin {
       tsCol: String, rightCols: Seq[String] = Nil): DataFrame = {
     val carry = if (rightCols.nonEmpty) rightCols
       else right.columns.toSeq.filterNot(c => keyCols.contains(c) || c == tsCol)
+    val collisions = carry.filter(left.columns.contains)
+    require(collisions.isEmpty,
+      s"as-of carry columns already exist on the left side: ${collisions.mkString(", ")} " +
+        "— rename them or pass explicit rightCols")
 
+    // all carried columns travel in ONE struct so the as-of row is always a
+    // real right row, never a per-column stitch of different rows (a null
+    // attribute inside the struct stays null)
     val leftCols = left.columns.toSeq
     val l = left
       .withColumn("_side", lit(1))
-      .select(leftCols.map(col) ++ Seq(col("_side")) ++
-        carry.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")): _*)
+      .withColumn("_r", lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          carry.map(c => org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))))
     val r = right
       .withColumn("_side", lit(0))
-      .select(keyCols.map(col) ++ Seq(col(tsCol), col("_side")) ++
-        carry.map(c => col(c).as(s"_r_$c")): _*)
+      .select(keyCols.map(col) ++ Seq(col(tsCol), col("_side"),
+        struct(carry.map(col): _*).as("_r")): _*)
     val merged = l.unionByName(r, allowMissingColumns = true)
 
     // right rows sort before left rows at equal ts (side 0 < 1), so a left
@@ -44,10 +52,8 @@ object AsOfJoin {
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol).asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = carry.foldLeft(merged) { (d, c) =>
-      d.withColumn(s"_r_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
-    }
-    val out = filled.filter(col("_side") === 1).drop("_side")
-    carry.foldLeft(out)((d, c) => d.withColumnRenamed(s"_r_$c", c))
+    val filled = merged.withColumn("_r", last(col("_r"), ignoreNulls = true).over(w))
+    filled.filter(col("_side") === 1)
+      .select(leftCols.map(col) ++ carry.map(c => col(s"_r.$c").as(c)): _*)
   }
 }

@@ -77,24 +77,43 @@ object Route {
     if (!vidMap.contains(u) || !vidMap.contains(v)) return None
 
     val result = sssp(rg, vidMap(u))
-    val states = result.vertices
-      .filter { case (_, (d, _)) => !d.isInfinite }
-      .collectAsMap()
-    if (!states.contains(vidMap(v))) return None
+    val reachable = result.vertices
+      .filter { case (_, (d, _)) => !d.isInfinite }.cache()
+    val target = vidMap(v)
+    val targetState = reachable.filter(_._1 == target).map(_._2).collect()
+    if (targetState.isEmpty) return None
+    val totalDist = targetState.head._1
 
-    // unwind predecessor vids driver-side (path length ≪ graph size),
-    // then resolve names with one pruned lookup instead of collecting idOf.
+    // unwind predecessor vids driver-side; on big graphs the reachable set
+    // is the whole graph, so only collect it below a memory-safe bound and
+    // fall back to one tiny distributed lookup per hop (path length jobs,
+    // driver memory O(path)) beyond it
+    val nReach = reachable.count()
     val vids = scala.collection.mutable.ListBuffer[VertexId]()
-    var cur = vidMap(v)
-    var guard = 0
-    while (cur != -1L && guard < states.size + 1) {
-      vids.prepend(cur)
-      cur = if (cur == vidMap(u)) -1L else states(cur)._2
-      guard += 1
+    var cur = target
+    var guard = 0L
+    if (nReach <= 2000000L) {
+      val states = reachable.collectAsMap()
+      while (cur != -1L && guard <= nReach) {
+        vids.prepend(cur)
+        cur = if (cur == vidMap(u)) -1L else states(cur)._2
+        guard += 1
+      }
+    } else {
+      while (cur != -1L && guard <= nReach) {
+        vids.prepend(cur)
+        cur =
+          if (cur == vidMap(u)) -1L
+          else {
+            val c = cur
+            reachable.filter(_._1 == c).map(_._2._2).first()
+          }
+        guard += 1
+      }
     }
     val names = rg.idOf.filter(col("_vid").isin(vids.toSeq: _*))
       .collect().map(r => r.getLong(1) -> r.getString(0)).toMap
-    Some((vids.map(names).toList, states(vidMap(v))._1))
+    Some((vids.map(names).toList, totalDist))
   }
 
   /** PageRank centrality over the edge structure (ref README "centrality

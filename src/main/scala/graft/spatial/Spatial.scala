@@ -32,53 +32,77 @@ object Spatial {
     */
   val DefaultCellDeg: Double = 0.01
 
+  /** Cap on per-edge cell duplication; geometries overlapping more cells
+    * land in the catch-all cell, which every pruned scan includes.
+    */
+  val MaxCellsPerEdge = 64
+  val CatchAllCell: Long = -1L
+
+  /** Materialize the envelope plus one row per overlapped grid cell —
+    * an edge spanning several cells is stored in each (standard grid-file
+    * duplication), so cell pruning can never drop a long edge. Queries on
+    * a cell-partitioned frame dedup on (_u,_v) after pruning.
+    */
   def withSpatialColumns(edges: DataFrame, cellDeg: Double = DefaultCellDeg): DataFrame = {
     val cs = col("geom.coordinates")
     val withBox = edges.withColumn(BBoxCol, GeoFunctions.envelope(cs))
+    val cellsUdf = udf((minX: Double, minY: Double, maxX: Double, maxY: Double) =>
+      coveredCells(minX, minY, maxX, maxY, cellDeg))
     withBox.withColumn(CellCol,
-      GeoFunctions.gridCell(
-        (col(s"$BBoxCol.min_x") + col(s"$BBoxCol.max_x")) / 2,
-        (col(s"$BBoxCol.min_y") + col(s"$BBoxCol.max_y")) / 2, cellDeg))
+      explode(cellsUdf(col(s"$BBoxCol.min_x"), col(s"$BBoxCol.min_y"),
+        col(s"$BBoxCol.max_x"), col(s"$BBoxCol.max_y"))))
+  }
+
+  private[spatial] def coveredCells(minX: Double, minY: Double,
+      maxX: Double, maxY: Double, cellDeg: Double): Seq[Long] = {
+    val r0 = math.floor((minY + 90.0) / cellDeg).toLong
+    val r1 = math.floor((maxY + 90.0) / cellDeg).toLong
+    val c0 = math.floor((minX + 180.0) / cellDeg).toLong
+    val c1 = math.floor((maxX + 180.0) / cellDeg).toLong
+    val n = (r1 - r0 + 1) * (c1 - c0 + 1)
+    if (n <= 0 || n > MaxCellsPerEdge) Seq(CatchAllCell)
+    else for (r <- r0 to r1; c <- c0 to c1) yield r * 100000L + c
   }
 
   private def ensureBBox(edges: DataFrame): DataFrame =
     if (edges.columns.contains(BBoxCol)) edges
     else edges.withColumn(BBoxCol, GeoFunctions.envelope(col("geom.coordinates")))
 
-  /** Grid cells overlapping a bbox, padded by one cell ring. The pad covers
-    * edges whose bbox center (the cell key) lies one cell outside the query
-    * box; edges longer than `cellDeg` (~1.1 km default) would need
-    * multi-cell duplication at write — acceptable for street-scale
-    * geometry, documented as the layout's contract.
+  /** Grid cells overlapping a query bbox (plus the catch-all cell for
+    * geometries too large to duplicate).
     */
   private[spatial] def cellsFor(left: Double, bottom: Double, right: Double,
       top: Double, cellDeg: Double): Option[Seq[Long]] = {
-    val r0 = math.floor((bottom + 90.0) / cellDeg).toLong - 1
-    val r1 = math.floor((top + 90.0) / cellDeg).toLong + 1
-    val c0 = math.floor((left + 180.0) / cellDeg).toLong - 1
-    val c1 = math.floor((right + 180.0) / cellDeg).toLong + 1
+    val r0 = math.floor((bottom + 90.0) / cellDeg).toLong
+    val r1 = math.floor((top + 90.0) / cellDeg).toLong
+    val c0 = math.floor((left + 180.0) / cellDeg).toLong
+    val c1 = math.floor((right + 180.0) / cellDeg).toLong
     val n = (r1 - r0 + 1) * (c1 - c0 + 1)
     if (n <= 0 || n > 4096) None // huge box: scan beats an isin of 4k+ cells
-    else Some(for (r <- r0 to r1; c <- c0 to c1) yield r * 100000L + c)
+    else Some((for (r <- r0 to r1; c <- c0 to c1) yield r * 100000L + c) :+ CatchAllCell)
   }
 
   /** Features whose MBR intersects the bbox (ref `feature_table.py:120-162`).
     * When the frame carries the `_cell` partition column, a derived
     * cell-set predicate turns the query into a partition-pruned scan —
-    * the columnar replacement for the reference's R-tree probe.
+    * the columnar replacement for the reference's R-tree probe. Because an
+    * edge is stored once per overlapped cell, hits are deduped on the
+    * unique (_u,_v) key after pruning.
     */
   def intersects(edges: DataFrame, left: Double, bottom: Double,
       right: Double, top: Double, cellDeg: Double = DefaultCellDeg): DataFrame = {
     val e = ensureBBox(edges)
     val boxFilter = GeoFunctions.bboxIntersects(col(BBoxCol), left, bottom, right, top)
-    val pruned =
-      if (e.columns.contains(CellCol))
-        cellsFor(left, bottom, right, top, cellDeg) match {
-          case Some(cells) => e.filter(col(CellCol).isin(cells: _*))
-          case None        => e
-        }
-      else e
-    pruned.filter(boxFilter)
+    if (e.columns.contains(CellCol)) {
+      val pruned = cellsFor(left, bottom, right, top, cellDeg) match {
+        case Some(cells) => e.filter(col(CellCol).isin(cells: _*))
+        case None        => e
+      }
+      val deduped =
+        if (e.columns.contains("_u")) pruned.filter(boxFilter).dropDuplicates("_u", "_v")
+        else pruned.filter(boxFilter).distinct()
+      deduped
+    } else e.filter(boxFilter)
   }
 
   /** Candidate set for a distance query: bbox of the point buffered by

@@ -29,11 +29,16 @@ object GraphPackage {
 
   val FormatVersion = 1
 
-  def save(g: PropertyGraph, path: String, cellDeg: Double = Spatial.DefaultCellDeg): Unit = {
+  /** `cellDeg <= 0` (the default) keeps the graph's own grid size, so a
+    * load→save round trip preserves the operator's chosen layout.
+    */
+  def save(g: PropertyGraph, path: String, cellDeg: Double = -1.0): Unit = {
+    val cd = if (cellDeg > 0) cellDeg else g.cellDeg
     val tmp = path + ".tmp"
     deleteRecursive(Paths.get(tmp))
 
-    val edges = Spatial.withSpatialColumns(g.edges, cellDeg)
+    val edges = Spatial.withSpatialColumns(
+      g.edges.drop(Spatial.BBoxCol, Spatial.CellCol), cd)
       .sortWithinPartitions("_u", "_v")
     edges.write.mode(SaveMode.Overwrite)
       .partitionBy(Spatial.CellCol)
@@ -44,7 +49,7 @@ object GraphPackage {
       s"""{
          |  "format_version": $FormatVersion,
          |  "crs": {"name": "WGS 84", "epsg": 4326},
-         |  "cell_deg": $cellDeg,
+         |  "cell_deg": $cd,
          |  "tables": ["nodes", "edges"]
          |}""".stripMargin
     Files.writeString(Paths.get(tmp, "metadata.json"), metadata)
@@ -57,8 +62,11 @@ object GraphPackage {
 
   def load(spark: SparkSession, path: String): PropertyGraph = {
     val nodes = spark.read.parquet(s"$path/nodes")
-    val edges = spark.read.parquet(s"$path/edges")
-    new PropertyGraph(nodes, edges, readCellDeg(path))
+    val physical = spark.read.parquet(s"$path/edges")
+    // physical layout stores one row per overlapped grid cell; the logical
+    // edge set (counts, joins, iteration) dedups back to one row per edge
+    val logical = physical.dropDuplicates("_u", "_v").drop(Spatial.CellCol)
+    new PropertyGraph(nodes, logical, readCellDeg(path), Some(physical))
   }
 
   /** cell_deg from metadata.json, so spatial partition pruning uses the

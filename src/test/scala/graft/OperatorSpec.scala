@@ -48,6 +48,44 @@ class OperatorSpec extends AnyFunSuite {
       Seq((1L, 10L, "r5"), (1L, 20L, "r20"), (2L, 15L, null)))
   }
 
+  test("as-of join carries whole right rows, never a per-column stitch") {
+    val left = Seq((1L, 3L)).toDF("k", "ts")
+    val right = Seq(
+      (1L, 1L, Some(5.0), 1L),
+      (1L, 2L, None: Option[Double], 2L)).toDF("k", "ts", "price", "qty")
+    val out = AsOfJoin.backward(left, right, Seq("k"), "ts").collect().head
+    // the latest right row (ts=2) has price=null — that null must survive,
+    // not be backfilled from the ts=1 row
+    assert(out.getAs[Any]("price") == null)
+    assert(out.getAs[Long]("qty") == 2L)
+  }
+
+  test("as-of join refuses colliding carry column names") {
+    val left = Seq((1L, 3L, 9.9)).toDF("k", "ts", "price")
+    val right = Seq((1L, 1L, 5.0)).toDF("k", "ts", "price")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(left, right, Seq("k"), "ts")
+    }
+    assert(e.getMessage.contains("price"))
+  }
+
+  test("GeoPackage blobs with an envelope decode correctly") {
+    val line = Seq(Seq(1.0, 2.0), Seq(3.0, 4.0))
+    val wkb = Wkb.encodeLineString(line)
+    // hand-build a GP blob with envelope indicator 1 (32-byte xy envelope,
+    // 4 doubles: minx, maxx, miny, maxy), as GDAL/QGIS writers emit
+    val b2 = java.nio.ByteBuffer.allocate(8 + 32 + wkb.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b2.put('G'.toByte).put('P'.toByte).put(0.toByte)
+      .put((0x01 | (1 << 1)).toByte) // little-endian + envelope=1
+      .putInt(4326)
+    Seq(1.0, 3.0, 2.0, 4.0).foreach(b2.putDouble)
+    b2.put(wkb)
+    val (srid, wkbOut) = Wkb.decodeGpkg(b2.array())
+    assert(srid == 4326)
+    assert(Wkb.decode(wkbOut) == ((2, line)))
+  }
+
   test("as-of join equals the window formulation on the events table (e3)") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
       .withColumn("sec", unix_timestamp(col("ts")))

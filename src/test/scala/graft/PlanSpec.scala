@@ -37,7 +37,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("bbox query prunes grid-cell partitions, not just rows") {
     val g = GraphPackage.load(spark, pkgDir)
-    val df = Spatial.intersects(g.edges, -122.315, 47.659, -122.313, 47.660)
+    val df = g.intersects(-122.315, 47.659, -122.313, 47.660)
     val p = plan(df)
     assert(p.contains("PartitionFilters:") && p.contains("_cell"),
       s"no partition filters in:\n$p")
@@ -47,7 +47,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("dwithin off the stored layout matches the reference result post-pruning") {
     val g = GraphPackage.load(spark, pkgDir)
-    assert(Spatial.dwithin(g.edges, -122.3132940, 47.6598762, 0.1).count() == 2)
+    assert(g.dwithin(-122.3132940, 47.6598762, 0.1).count() == 2)
   }
 
   test("fk join broadcasts the small dimension") {

@@ -76,8 +76,9 @@ class PropertyGraphSpec extends AnyFunSuite {
     val g2 = GraphPackage.load(spark, dir)
     assert(g2.size() == 8 && g2.order() == 5)
     assert(g2.edges.columns.contains(Spatial.BBoxCol))
+    assert(g2.spatialEdges.isDefined)
     // spatial query works straight off the stored layout
-    val res = Spatial.dwithin(g2.edges, -122.3132940, 47.6598762, 0.1).count()
+    val res = g2.dwithin(-122.3132940, 47.6598762, 0.1).count()
     assert(res == 2)
     assert(Files.exists(java.nio.file.Paths.get(dir, "metadata.json")))
   }
@@ -117,6 +118,68 @@ class PropertyGraphSpec extends AnyFunSuite {
     assert(miss.getAs[Any]("touched") == null)
     // existing attrs survive
     assert(hit.getAs[Long]("fid") == 2L)
+  }
+
+  test("addEdges on a package-loaded graph keeps new edges spatially visible") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-add").resolve("a.graft").toString
+    GraphPackage.save(g, dir)
+    val loaded = GraphPackage.load(spark, dir)
+    // new edge with geometry near the fixture hub
+    val geom = Seq((
+      "9.0, 9.0", "9.001, 9.0",
+      ("LineString", Seq(Seq(9.0, 9.0), Seq(9.001, 9.0))))).toDF("_u", "_v", "geom")
+      .withColumn("geom", struct(lit("LineString").as("type"),
+        typedLit(Seq(Seq(9.0, 9.0), Seq(9.001, 9.0))).as("coordinates")))
+    val g2 = loaded.addEdges(geom.select("_u", "_v", "geom"))
+    assert(g2.size() == 9)
+    // spatial query finds the new edge even though it was added post-load
+    assert(g2.dwithin(9.0005, 9.0, 50.0).count() == 1)
+    // and the old fixture query still works
+    assert(g2.dwithin(-122.3132940, 47.6598762, 0.1).count() == 2)
+  }
+
+  test("addEdges without geometry still creates endpoint nodes") {
+    import spark.implicits._
+    val g2 = g.addEdges(Seq(("newA", "newB", 1.0)).toDF("_u", "_v", "w"))
+    assert(g2.hasNode("newA") && g2.hasNode("newB"))
+    assert(g2.order() == 7)
+  }
+
+  test("updateEdges tolerates duplicate update keys without fanning out edges") {
+    import spark.implicits._
+    val upd = Seq(
+      (Fixture.TestNode1, Fixture.TestNode2, 1.0),
+      (Fixture.TestNode1, Fixture.TestNode2, 2.0)).toDF("_u", "_v", "w2")
+    val g2 = g.updateEdges(upd)
+    assert(g2.size() == 8)
+    assert(g2.getEdge(Fixture.TestNode1, Fixture.TestNode2).count() == 1)
+  }
+
+  test("size(weight) handles missing columns, empty graphs, and integer weights") {
+    import spark.implicits._
+    assert(g.size("no_such_column") == 8.0) // falls back to edge count
+    val intG = new PropertyGraph(
+      Seq("a", "b").toDF("_n"),
+      Seq(("a", "b", 3L)).toDF("_u", "_v", "iw"))
+    assert(intG.size("iw") == 3.0)
+    val emptyG = new PropertyGraph(
+      Seq.empty[String].toDF("_n"),
+      Seq.empty[(String, String, Double)].toDF("_u", "_v", "w"))
+    assert(emptyG.size("w") == 0.0)
+  }
+
+  test("long edges spanning many cells survive pruning (grid duplication)") {
+    // fixture edges are ~0.001° long; a 0.0002° grid makes each span ~5
+    // cells, so center-cell keying would lose them from small queries
+    val dir = Files.createTempDirectory("graft-long").resolve("l.graft").toString
+    GraphPackage.save(g, dir, cellDeg = 0.0002)
+    val g2 = GraphPackage.load(spark, dir)
+    assert(g2.size() == 8) // logical count not inflated by duplication
+    assert(g2.spatialEdges.get.count() > 8) // physical layout is duplicated
+    assert(g2.dwithin(-122.3132940, 47.6598762, 0.1).count() == 2)
+    // query box at the far end of an edge from its center
+    assert(g2.intersects(-122.31445, 47.65988, -122.31443, 47.65990).count() >= 2)
   }
 
   test("view refuses writes at the API level (M5)") {
