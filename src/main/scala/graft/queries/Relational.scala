@@ -43,6 +43,13 @@ object Relational {
       t(s, d, "lineitem").groupBy("l_suppkey")
         .agg(countDistinct("l_partkey").as("out_degree"))
         .orderBy("l_suppkey")),
+    // A2 at scale: HLL sketch degrees (approx_count_distinct) — mergeable,
+    // one pass, no exact-distinct shuffle. Rows-only (DuckDB's HLL
+    // implementation differs, so values can't hash-match an oracle).
+    "a2_approx_degree" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_suppkey")
+        .agg(approx_count_distinct("l_partkey").as("approx_out_degree"))
+        .orderBy("l_suppkey")),
     // A3 size(weight) (graphs/digraphdb/__init__.py:62-66)
     "a3_weighted_size" -> ((s, d) =>
       t(s, d, "lineitem").agg(

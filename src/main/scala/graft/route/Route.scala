@@ -65,12 +65,74 @@ object Route {
       mergeMsg = (a, b) => if (a._1 <= b._1) a else b)
   }
 
-  /** Point-to-point Dijkstra path as node-id sequence plus total cost —
+  /** Edge count below which point-to-point queries use the driver-side
+    * Dijkstra fast path (broadcast-adjacency latency profile comparable to
+    * the reference's SQLite loop) instead of a Pregel job per query.
+    */
+  val LocalPathMaxEdges = 200000L
+
+  /** Point-to-point shortest path — dispatches to the driver-side fast
+    * path for interactive-sized graphs, distributed Pregel otherwise
+    * (SURVEY §7.1 item 6 keeps both).
+    */
+  def shortestPath(g: PropertyGraph, u: String, v: String, weightCol: String): Option[(Seq[String], Double)] =
+    if (g.edges.count() <= LocalPathMaxEdges) shortestPathLocal(g, u, v, weightCol)
+    else shortestPathPregel(g, u, v, weightCol)
+
+  /** Driver-side Dijkstra over a collected adjacency list — one collect,
+    * then pure in-memory search; the latency-parity path for repeated
+    * interactive queries on metro-scale graphs.
+    */
+  def shortestPathLocal(g: PropertyGraph, u: String, v: String,
+      weightCol: String): Option[(Seq[String], Double)] = {
+    val adjacency = g.edges
+      .filter(col(weightCol).isNotNull)
+      .select(col("_u"), col("_v"), col(weightCol).cast("double"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rows) => k -> rows.map(r => (r.getString(1), r.getDouble(2))) }
+    if (!adjacency.contains(u) && u != v) {
+      // u may still be a sink-only node; path exists only if u == v
+      if (g.hasNode(u) && u == v) return Some((Seq(u), 0.0)) else ()
+    }
+    if (!g.hasNode(u) || !g.hasNode(v)) return None
+    if (u == v) return Some((Seq(u), 0.0))
+
+    val dist = scala.collection.mutable.HashMap[String, Double](u -> 0.0)
+    val pred = scala.collection.mutable.HashMap[String, String]()
+    val done = scala.collection.mutable.HashSet[String]()
+    val pq = scala.collection.mutable.PriorityQueue[(Double, String)]()(
+      Ordering.by[(Double, String), Double](_._1).reverse)
+    pq.enqueue((0.0, u))
+    while (pq.nonEmpty) {
+      val (d, n) = pq.dequeue()
+      if (!done.contains(n)) {
+        done += n
+        if (n == v) {
+          val path = scala.collection.mutable.ListBuffer(v)
+          var cur = v
+          while (cur != u) { cur = pred(cur); path.prepend(cur) }
+          return Some((path.toList, d))
+        }
+        adjacency.getOrElse(n, Array.empty).foreach { case (m, w) =>
+          val nd = d + w
+          if (nd < dist.getOrElse(m, Double.PositiveInfinity)) {
+            dist(m) = nd
+            pred(m) = n
+            pq.enqueue((nd, m))
+          }
+        }
+      }
+    }
+    None
+  }
+
+  /** Distributed point-to-point Dijkstra via the SSSP Pregel program —
     * parity with `nx.dijkstra_path(G, u, v, weight)` (`README.md:69-74`).
     * Path unwound driver-side from predecessor pointers (paths are short
     * relative to graph size, SURVEY §2.7).
     */
-  def shortestPath(g: PropertyGraph, u: String, v: String, weightCol: String): Option[(Seq[String], Double)] = {
+  def shortestPathPregel(g: PropertyGraph, u: String, v: String, weightCol: String): Option[(Seq[String], Double)] = {
     val rg = fromPropertyGraph(g, weightCol)
     val vidRows = rg.idOf.filter(col("_n").isin(u, v)).collect()
     val vidMap = vidRows.map(r => r.getString(0) -> r.getLong(1)).toMap

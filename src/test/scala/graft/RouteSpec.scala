@@ -36,6 +36,17 @@ class RouteSpec extends AnyFunSuite {
     assert(Route.shortestPath(g, "nope", Fixture.TestNode1, "_length").isEmpty)
   }
 
+  test("local fast path and distributed Pregel agree") {
+    val local = Route.shortestPathLocal(g, leafWest, Fixture.TestNode1, "_length")
+    val pregel = Route.shortestPathPregel(g, leafWest, Fixture.TestNode1, "_length")
+    assert(local.isDefined && pregel.isDefined)
+    assert(local.get._1 == pregel.get._1)
+    assert(math.abs(local.get._2 - pregel.get._2) < 1e-9)
+    assert(Route.shortestPathLocal(g, "nope", Fixture.TestNode1, "_length").isEmpty)
+    assert(Route.shortestPathLocal(g, Fixture.TestNode1, Fixture.TestNode1, "_length")
+      .contains((Seq(Fixture.TestNode1), 0.0)))
+  }
+
   test("pageRank: hub outranks leaves") {
     val ranks = Route.pageRank(spark, g).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
