@@ -35,36 +35,64 @@ object GeoJsonIngest {
       changesSign: Seq[String] = Nil,
       assignFids: Boolean = true)
 
-  /** Read one or more GeoJSON files into the canonical edges DataFrame:
+  /** Read one or more GeoJSON FeatureCollection files into the canonical
+    * edges DataFrame:
     * `_u, _v, geom(type, coordinates), _layer, _length, <properties...>[, fid]`
     * with a reverse edge per input LineString (ref `io.py:42-50`).
+    *
+    * NOTE on scale: a FeatureCollection file is one JSON document, so the
+    * multiLine reader parses each file in a single task. For 100 TB-class
+    * ingest use [[readEdgesSeq]] (newline-delimited features), which splits
+    * like any text source.
     */
   def readEdges(spark: SparkSession, paths: Seq[String], opts: Options = Options()): DataFrame = {
     val raw = spark.read.option("multiLine", value = true).json(paths: _*)
     require(raw.schema.fieldNames.contains("features"),
       s"not a GeoJSON FeatureCollection: $paths")
 
-    val layer = regexp_replace(
-      element_at(split(input_file_name(), "/"), -1), "\\.[^.]*$", "")
-
     val feats = raw
-      .select(layer.as("_layer"), posexplode(col("features")).as(Seq("pos", "f")))
+      .select(layerCol.as("_layer"), posexplode(col("features")).as(Seq("pos", "f")))
       .filter(col("f.geometry.type") === "LineString")
 
-    val coords = col("f.geometry.coordinates").cast(ArrayType(ArrayType(DoubleType)))
-
-    // properties.* flattened; empty/missing properties object → no columns
     val propFields: Seq[String] = raw.schema("features").dataType match {
-      case ArrayType(s: StructType, _) =>
-        s.fields.find(_.name == "properties") match {
-          case Some(f) => f.dataType match {
-            case p: StructType => p.fieldNames.toSeq
-            case _ => Nil
-          }
-          case None => Nil
-        }
+      case ArrayType(s: StructType, _) => propsOf(s)
       case _ => Nil
     }
+    fromFeatures(feats, propFields, opts)
+  }
+
+  /** Read newline-delimited GeoJSON features (GeoJSONSeq / ndjson — one
+    * Feature object per line): the splittable, cluster-parallel ingest
+    * path. Same output schema as [[readEdges]]; fids are ordered by
+    * (layer, file position).
+    */
+  def readEdgesSeq(spark: SparkSession, paths: Seq[String], opts: Options = Options()): DataFrame = {
+    val raw = spark.read.json(paths: _*)
+    require(raw.schema.fieldNames.contains("geometry"),
+      s"not newline-delimited GeoJSON features: $paths")
+    val feats = raw
+      .select(layerCol.as("_layer"), monotonically_increasing_id().as("pos"),
+        struct(col("geometry"), col("properties")).as("f"))
+      .filter(col("f.geometry.type") === "LineString")
+    fromFeatures(feats, propsOf(raw.schema), opts)
+  }
+
+  private def layerCol =
+    regexp_replace(element_at(split(input_file_name(), "/"), -1), "\\.[^.]*$", "")
+
+  private def propsOf(s: StructType): Seq[String] =
+    s.fields.find(_.name == "properties") match {
+      case Some(f) => f.dataType match {
+        case p: StructType => p.fieldNames.toSeq
+        case _ => Nil
+      }
+      case None => Nil
+    }
+
+  /** Shared pipeline from an exploded feature frame (_layer, pos, f). */
+  private def fromFeatures(feats: DataFrame, propFields: Seq[String],
+      opts: Options): DataFrame = {
+    val coords = col("f.geometry.coordinates").cast(ArrayType(ArrayType(DoubleType)))
     // reference drops None-valued props per-feature (io.py:16-19); columnar
     // NULLs carry the same semantics.
     val propCols = propFields.map(n => col(s"f.properties.`$n`").as(n))

@@ -53,6 +53,11 @@ object EventQueries {
         .select(unix_timestamp(col("window.start")).as("win_start"),
           col("event_type"), col("n"), col("total"))
         .orderBy("win_start", "event_type")),
+    // JSON property extraction from the semi-structured props column
+    "e6_json_extract" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"), get_json_object(col("props"), "$.k").as("k"))
+        .orderBy("event_id")),
     // per-session aggregate on top of sessionization
     "e4_session_stats" -> ((s, d) => {
       val sess = queries("e2_sessionize")(s, d)
@@ -97,6 +102,9 @@ object EventQueries {
            SELECT event_type, value, unnest([s30, s30 - 1800]) AS win_start FROM w)
          SELECT win_start, event_type, count(*) AS n, round(sum(value), 2) AS total
          FROM x GROUP BY win_start, event_type ORDER BY win_start, event_type""",
+    "e6_json_extract" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS k
+         FROM events ORDER BY event_id""",
     "e4_session_stats" ->
       s"""WITH ev AS (
            SELECT user_id, event_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS sec

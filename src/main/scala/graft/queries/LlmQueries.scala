@@ -29,6 +29,10 @@ object LlmQueries {
         round(Text.stopwordRatio(col("text")), 4).as("stopword_ratio"),
         round(Text.qualityScore(col("text")), 2).as("quality"))
         .orderBy("doc_id")),
+    "t6_bpe_count" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), Text.approxBpeCount(col("text")).as("n_bpe"))
+        .orderBy("doc_id")),
     "t3_lang_id" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), Text.langIdUdf(col("text")).as("lang_pred"))
@@ -140,6 +144,12 @@ object LlmQueries {
                  (CASE WHEN mwl BETWEEN 2.0 AND 12.0 THEN 0.2 ELSE 0.0 END) +
                  (CASE WHEN pr < 0.2 THEN 0.1 ELSE 0.0 END) END, 2) AS quality
          FROM m ORDER BY doc_id""",
+    "t6_bpe_count" ->
+      """SELECT doc_id,
+         CAST(list_aggregate(list_transform(
+           regexp_split_to_array(trim(text), '\s+'),
+           w -> greatest(CAST(ceil(length(w)/4.0) AS BIGINT), 1)), 'sum') AS BIGINT) AS n_bpe
+         FROM documents ORDER BY doc_id""",
     "t4_fingerprint" ->
       """SELECT doc_id,
          md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp

@@ -127,6 +127,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(edges.filter(col("_layer") === "a" && col("incline").isNotNull).count() == 0)
   }
 
+  test("newline-delimited GeoJSON (splittable scale path) matches FeatureCollection ingest") {
+    val dir = Files.createTempDirectory("graft-seq")
+    val features = Seq(
+      """{"type":"Feature","properties":{"surface":"concrete"},"geometry":{"type":"LineString","coordinates":[[0.0,0.0],[0.001,0.0]]}}""",
+      """{"type":"Feature","properties":{"surface":"gravel"},"geometry":{"type":"LineString","coordinates":[[0.001,0.0],[0.002,0.0]]}}""")
+    val seqPath = dir.resolve("net.geojsonl")
+    Files.writeString(seqPath, features.mkString("\n"))
+    val fcPath = dir.resolve("net.geojson")
+    Files.writeString(fcPath,
+      s"""{"type":"FeatureCollection","features":[${features.mkString(",")}]}""")
+
+    val seqEdges = GeoJsonIngest.readEdgesSeq(spark, Seq(seqPath.toString))
+    val fcEdges = GeoJsonIngest.readEdges(spark, Seq(fcPath.toString))
+    assert(seqEdges.count() == 4 && fcEdges.count() == 4)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("_u", "_v", "surface", "_length").orderBy("_u", "_v")
+        .collect().map(_.toSeq).toSeq
+    assert(canon(seqEdges) == canon(fcEdges))
+  }
+
   test("changes-sign negates listed columns on reverse edges (io.py:47-49)") {
     val f = writeGeoJson("c.geojson",
       """{"type":"Feature","properties":{"incline":0.25,"width":2.0},
