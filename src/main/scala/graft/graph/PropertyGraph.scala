@@ -204,10 +204,19 @@ final class PropertyGraphView(nodes: DataFrame, edges: DataFrame,
 }
 
 object PropertyGraph {
-  /** Build from GeoJSON paths (ref build pipeline `build.py:24-61`). */
+  /** Build from GeoJSON paths (ref build pipeline `build.py:24-61`).
+    * `.geojsonl`/`.ndjson`/`.jsonl` files use the splittable
+    * newline-delimited reader; anything else the FeatureCollection reader.
+    */
   def fromGeoJson(spark: org.apache.spark.sql.SparkSession, paths: Seq[String],
       opts: graft.ingest.GeoJsonIngest.Options = graft.ingest.GeoJsonIngest.Options()): PropertyGraph = {
-    val e = graft.ingest.GeoJsonIngest.readEdges(spark, paths, opts)
+    val (seq, fc) = paths.partition(p =>
+      p.endsWith(".geojsonl") || p.endsWith(".ndjson") || p.endsWith(".jsonl"))
+    val parts = Seq(
+      if (fc.nonEmpty) Some(graft.ingest.GeoJsonIngest.readEdges(spark, fc, opts)) else None,
+      if (seq.nonEmpty) Some(graft.ingest.GeoJsonIngest.readEdgesSeq(spark, seq, opts)) else None
+    ).flatten
+    val e = parts.reduce(_.unionByName(_, allowMissingColumns = true))
     new PropertyGraph(graft.ingest.GeoJsonIngest.deriveNodes(e), e)
   }
 }
