@@ -59,6 +59,17 @@ object GeoQueries {
         .orderBy("c_custkey")
     }),
 
+    // J3: distributed proximity self-join (grid-bucketed; the brute-force
+    // theta join is only the oracle's job)
+    "g4_proximity_join" -> ((s, d) => {
+      val pts = t(s, d, "events").filter(col("event_type") === "error")
+        .select(col("event_id"), col("value").as("x"),
+          (col("user_id") * 4.0).as("y"))
+      graft.spatial.Spatial.planarProximityJoin(pts, "event_id", "x", "y", 25.0)
+        .select(col("a"), col("b"), round(col("_distance"), 4).as("dist"))
+        .orderBy("a", "b")
+    }),
+
     // J2/§2.7: bounded BFS (min hop distance ≤ 3) on the part↔part graph
     // induced by shared orders — iterative frontier joins, the DataFrame
     // form of a Pregel superstep loop.
@@ -117,6 +128,16 @@ object GeoQueries {
              CAST((c_nationkey * 7) % 160 - 80 AS DOUBLE) * 0.5 AS lat2
            FROM customer)
          ORDER BY c_custkey""",
+    "g4_proximity_join" ->
+      """SELECT a.event_id AS a, b.event_id AS b,
+           round(sqrt(pow(a.value - b.value, 2) +
+                      pow((a.user_id - b.user_id) * 4.0, 2)), 4) AS dist
+         FROM events a, events b
+         WHERE a.event_type = 'error' AND b.event_type = 'error'
+           AND a.event_id < b.event_id
+           AND sqrt(pow(a.value - b.value, 2) +
+                    pow((a.user_id - b.user_id) * 4.0, 2)) < 25.0
+         ORDER BY a, b""",
     "j3_bfs_hops" ->
       """WITH RECURSIVE r AS (
            SELECT CAST(0 AS BIGINT) AS p, 0 AS depth

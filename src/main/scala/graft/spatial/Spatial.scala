@@ -129,6 +129,33 @@ object Spatial {
     if (sort) refined.orderBy("_distance") else refined
   }
 
+  /** Distributed proximity self-join on a planar point set: all pairs
+    * within `dist` (SURVEY §2.4 J3 — the spatial join the reference only
+    * planned). Grid-bucketed: each point keys its own cell (cell size =
+    * dist) and probes the 3×3 neighbor ring, so the join key is a cell id
+    * and the per-bucket pair work is local — the O(n²) theta join never
+    * materializes. Returns (a, b, _distance) with a < b.
+    */
+  def planarProximityJoin(df: DataFrame, idCol: String,
+      xCol: String, yCol: String, dist: Double): DataFrame = {
+    require(dist > 0)
+    val cellOf = (x: Column, y: Column) =>
+      (floor(y / dist) * 100000L + floor(x / dist)).cast("long")
+    val pts = df.select(col(idCol).as("id"), col(xCol).cast("double").as("x"),
+      col(yCol).cast("double").as("y"))
+    val probe = pts.withColumn("cell", explode(array(
+      (for (dy <- -1 to 1; dx <- -1 to 1)
+        yield cellOf(col("x"), col("y")) + (dy * 100000L + dx)): _*)))
+    val build = pts.select(col("id").as("b"), col("x").as("xb"), col("y").as("yb"),
+      cellOf(col("x"), col("y")).as("cell"))
+    probe.join(build, "cell")
+      .filter(col("id") < col("b"))
+      .withColumn("_distance",
+        sqrt(pow(col("x") - col("xb"), 2) + pow(col("y") - col("yb"), 2)))
+      .filter(col("_distance") < dist)
+      .select(col("id").as("a"), col("b"), col("_distance"))
+  }
+
   /** k nearest features to a point — top-k via TakeOrderedAndProject, with
     * the candidate prune at `radius` meters keeping the refine set small.
     */
