@@ -20,10 +20,13 @@ object Tables {
     * we build). Normalize to a proper TimestampType (µs precision, UTC) so
     * downstream queries and the DuckDB oracle agree.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
+
+  /** long-nanos ts column → TimestampType (µs, UTC); no-op otherwise. */
+  def normalizeTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.LongType
     import org.apache.spark.sql.functions.{expr, timestamp_micros}
-    val df = spark.read.parquet(s"$dir/events.parquet")
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _        => df

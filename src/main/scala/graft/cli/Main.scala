@@ -6,7 +6,6 @@ import graft.Tables
 import graft.graph.PropertyGraph
 import graft.ingest.GeoJsonIngest
 import graft.route.Route
-import graft.spatial.Spatial
 import graft.store.GraphPackage
 
 /** CLI parity with the reference's `entwiner INFILES... OUTFILE` command

@@ -80,9 +80,14 @@ class PropertyGraph(val nodes: DataFrame, val edges: DataFrame,
   }
 
   // ---- aggregates (A1-A3) ----
-  /** Node / edge counts (ref `feature_table.py:615-619`). */
-  def order(): Long = nodes.count()
-  def size(): Long = edges.count()
+  /** Node / edge counts (ref `feature_table.py:615-619`). Counts are
+    * cached per instance — every mutation returns a new graph, so they
+    * never change (saves a job on repeated size()/routing dispatch).
+    */
+  private lazy val nodeCount: Long = nodes.count()
+  private lazy val edgeCount: Long = edges.count()
+  def order(): Long = nodeCount
+  def size(): Long = edgeCount
 
   /** Sum of a weight column over all edges, or edge count when absent
     * (nx `size(weight)`, ref `graphs/digraphdb/__init__.py:62-66`).

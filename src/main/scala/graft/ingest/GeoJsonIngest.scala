@@ -118,13 +118,13 @@ object GeoJsonIngest {
     def signFlip(name: String, c: Column, reverse: Boolean): Column =
       if (reverse && opts.changesSign.contains(name)) (-c).as(name) else c.as(name)
 
-    def side(reverse: Boolean): DataFrame = {
-      val cs = if (reverse) reverse_(col("coordinates")) else col("coordinates")
-      val u = if (reverse) col("_v") else col("_u")
-      val v = if (reverse) col("_u") else col("_v")
+    def side(rev: Boolean): DataFrame = {
+      val cs = if (rev) reverse(col("coordinates")) else col("coordinates")
+      val u = if (rev) col("_v") else col("_u")
+      val v = if (rev) col("_u") else col("_v")
       val fid =
         if (opts.assignFids)
-          Seq(((col("fidx") * 2) - (if (reverse) lit(0) else lit(1))).cast("long").as("fid"))
+          Seq(((col("fidx") * 2) - (if (rev) lit(0) else lit(1))).cast("long").as("fid"))
         else Nil
       indexed.select(
         Seq(
@@ -132,13 +132,11 @@ object GeoJsonIngest {
           struct(lit("LineString").as("type"), cs.as("coordinates")).as("geom"),
           col("_layer"),
           GeoFunctions.lineLengthMeters(cs).as("_length")
-        ) ++ propFields.map(n => signFlip(n, col(s"`$n`"), reverse)) ++ fid: _*)
+        ) ++ propFields.map(n => signFlip(n, col(s"`$n`"), rev)) ++ fid: _*)
     }
 
-    side(reverse = false).unionByName(side(reverse = true))
+    side(rev = false).unionByName(side(rev = true))
   }
-
-  private def reverse_(c: Column): Column = reverse(c)
 
   /** Node table from edge endpoints (ref `edge_table.py:5-33`): distinct
     * `_n` with a Point geometry; one shuffle (the dropDuplicates).

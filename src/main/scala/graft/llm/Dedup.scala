@@ -85,13 +85,8 @@ object Dedup {
     else ws.indices.take(ws.length - n + 1).map(i => ws(i) + " " + ws(i + n - 1)).toSet
   }
 
-  private def deterministicCoeff(i: Int): Long = {
-    // splitmix64 of the index — fixed, public constant stream
-    var z = i.toLong + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    math.abs(z ^ (z >>> 31)) % 4294967296L
-  }
+  private def deterministicCoeff(i: Int): Long =
+    math.abs(graft.functions.Hashing.splitmix64(i.toLong)) % 4294967296L
 
   /** LSH band buckets: signature split into `bands` rows of `r` values,
     * each hashed to one bucket id. Docs sharing any band bucket are

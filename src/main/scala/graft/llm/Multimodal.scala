@@ -52,9 +52,7 @@ object Multimodal {
       val w = math.abs(h % 1024) + 1
       val ht = math.abs((h / 1024) % 1024) + 1
       val feats = Array.tabulate(8) { i =>
-        var z = h.toLong * 31 + i
-        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-        (z % 1000).toDouble / 1000.0
+        (graft.functions.Hashing.splitmix64(h.toLong * 31 + i) % 1000).toDouble / 1000.0
       }
       (w, ht, feats)
     }

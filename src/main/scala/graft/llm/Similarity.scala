@@ -54,14 +54,10 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  private def coeff(b: Int, d: Int): Double = {
-    var z = (b.toLong << 32 | d.toLong) + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z = z ^ (z >>> 31)
+  private def coeff(b: Int, d: Int): Double =
     // map to (-1, 1)
-    (z.toDouble / Long.MaxValue.toDouble)
-  }
+    graft.functions.Hashing.splitmix64(b.toLong << 32 | d.toLong).toDouble /
+      Long.MaxValue.toDouble
 
   /** ANN top-k: prune to vectors whose signature is within `maxBitDiff`
     * bits of the query signature (checked via bit_count of xor), then exact

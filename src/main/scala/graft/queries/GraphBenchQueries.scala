@@ -25,7 +25,7 @@ import graft.graph.PropertyGraph
 object GraphBenchQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  private lazy val bulkFile: String = {
+  private[graft] lazy val bulkFile: String = {
     val dir = Files.createTempDirectory("graft-bulk")
     val features = (0 until 5650).map { i =>
       val x = -122.0 + (i % 100) * 0.001

@@ -76,7 +76,7 @@ object Route {
     * (SURVEY §7.1 item 6 keeps both).
     */
   def shortestPath(g: PropertyGraph, u: String, v: String, weightCol: String): Option[(Seq[String], Double)] =
-    if (g.edges.count() <= LocalPathMaxEdges) shortestPathLocal(g, u, v, weightCol)
+    if (g.size() <= LocalPathMaxEdges) shortestPathLocal(g, u, v, weightCol)
     else shortestPathPregel(g, u, v, weightCol)
 
   /** Driver-side Dijkstra over a collected adjacency list — one collect,

@@ -83,7 +83,7 @@ object GraphPackage {
     }
   }
 
-  private def deleteRecursive(p: Path): Unit =
+  private[graft] def deleteRecursive(p: Path): Unit =
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)

@@ -3,7 +3,6 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import org.apache.spark.sql.types.LongType
 
 /** Structured Streaming surface over the `events` table shape. The same
   * aggregations as the batch EventQueries, expressed as streaming plans
@@ -15,11 +14,7 @@ object EventStream {
   /** Normalize a raw events frame (ts possibly long nanos —
     * see Tables.events) to a proper timestamp column.
     */
-  def normalize(df: DataFrame): DataFrame =
-    df.schema("ts").dataType match {
-      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _        => df
-    }
+  def normalize(df: DataFrame): DataFrame = graft.Tables.normalizeTs(df)
 
   /** Open a streaming read of event parquet files under `dir`. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {

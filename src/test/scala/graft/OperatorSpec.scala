@@ -179,17 +179,11 @@ class OperatorSpec extends AnyFunSuite {
 
   test("bulk build of ~11k edges completes well within the reference's envelope") {
     // reference: 100 × 113-feature imports (~11.3k inserts) < 10 s.
-    // Equivalent batch workload: one file with 5650 features → 11.3k edges
-    // (reversals), upserted in a single declarative plan.
-    val features = (0 until 5650).map { i =>
-      val x = -122.0 + (i % 100) * 0.001
-      val y = 47.0 + (i / 100) * 0.001
-      s"""{"type":"Feature","properties":{"length":${i % 97}},
-          "geometry":{"type":"LineString","coordinates":[[$x,$y],[${x + 0.0005},$y]]}}"""
-    }.mkString(",")
-    val f = writeGeoJson("bulk.geojson", features)
+    // Equivalent batch workload (shared with GraphBenchQueries): one file
+    // with 5650 features → 11.3k edges (reversals) in a single plan.
     val t0 = System.nanoTime()
-    val g = graft.graph.PropertyGraph.fromGeoJson(spark, Seq(f))
+    val g = graft.graph.PropertyGraph.fromGeoJson(
+      spark, Seq(graft.queries.GraphBenchQueries.bulkFile))
     val e = g.size()
     val sec = (System.nanoTime() - t0) / 1e9
     assert(e == 11300L)

@@ -6,7 +6,6 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.graph.PropertyGraph
-import graft.spatial.Spatial
 import graft.store.GraphPackage
 
 /** Physical-plan assertions — the scale story must be visible in

@@ -49,12 +49,8 @@ class ScaleOpsSpec extends AnyFunSuite {
     // a previous JVM's in-memory catalog is gone but its warehouse dirs
     // survive → LOCATION_ALREADY_EXISTS unless cleared
     Seq("li_b", "or_b").foreach { t =>
-      val p = java.nio.file.Paths.get(new java.net.URI(wh).getPath, t)
-      if (java.nio.file.Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.delete)
-      }
+      graft.store.GraphPackage.deleteRecursive(
+        java.nio.file.Paths.get(new java.net.URI(wh).getPath, t))
     }
     li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_b")
     or.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("or_b")
