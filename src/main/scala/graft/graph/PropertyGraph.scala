@@ -221,7 +221,18 @@ object PropertyGraph {
       if (fc.nonEmpty) Some(graft.ingest.GeoJsonIngest.readEdges(spark, fc, opts)) else None,
       if (seq.nonEmpty) Some(graft.ingest.GeoJsonIngest.readEdgesSeq(spark, seq, opts)) else None
     ).flatten
-    val e = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    // each reader numbers fids from 1; offset later parts so fids stay
+    // unique across mixed-format builds
+    val e = parts.reduce { (a, b) =>
+      val merged =
+        if (opts.assignFids && a.columns.contains("fid") && b.columns.contains("fid")) {
+          val offset = a.agg(org.apache.spark.sql.functions.max("fid")).head.getLong(0)
+          a.unionByName(
+            b.withColumn("fid", org.apache.spark.sql.functions.col("fid") + offset),
+            allowMissingColumns = true)
+        } else a.unionByName(b, allowMissingColumns = true)
+      merged
+    }
     new PropertyGraph(graft.ingest.GeoJsonIngest.deriveNodes(e), e)
   }
 }

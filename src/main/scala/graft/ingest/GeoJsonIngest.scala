@@ -70,11 +70,19 @@ object GeoJsonIngest {
     val raw = spark.read.json(paths: _*)
     require(raw.schema.fieldNames.contains("geometry"),
       s"not newline-delimited GeoJSON features: $paths")
+    // properties may legitimately be absent from every feature
+    val fStruct =
+      if (raw.schema.fieldNames.contains("properties"))
+        struct(col("geometry"), col("properties"))
+      else struct(col("geometry"))
     val feats = raw
       .select(layerCol.as("_layer"), monotonically_increasing_id().as("pos"),
-        struct(col("geometry"), col("properties")).as("f"))
+        fStruct.as("f"))
       .filter(col("f.geometry.type") === "LineString")
-    fromFeatures(feats, propsOf(raw.schema), opts)
+    // unique (sparse) fids from the partition-local ids: the dense
+    // insertion-order window of the FC path would serialize this
+    // splittable read through one task
+    fromFeatures(feats, propsOf(raw.schema), opts, denseFids = false)
   }
 
   private def layerCol =
@@ -89,9 +97,14 @@ object GeoJsonIngest {
       case None => Nil
     }
 
-  /** Shared pipeline from an exploded feature frame (_layer, pos, f). */
+  /** Shared pipeline from an exploded feature frame (_layer, pos, f).
+    * `denseFids` = reference-parity insertion-order fids via a global
+    * window (single-task — fine for build-sized FeatureCollections);
+    * false = unique fids derived from `pos` with no shuffle (the scale
+    * path; ids are sparse but keep the odd/even forward/reverse pairing).
+    */
   private def fromFeatures(feats: DataFrame, propFields: Seq[String],
-      opts: Options): DataFrame = {
+      opts: Options, denseFids: Boolean = true): DataFrame = {
     val coords = col("f.geometry.coordinates").cast(ArrayType(ArrayType(DoubleType)))
     // reference drops None-valued props per-feature (io.py:16-19); columnar
     // NULLs carry the same semantics.
@@ -110,9 +123,11 @@ object GeoJsonIngest {
     // insertion-order index over LineString features (per build, matching
     // the reference's sequential file processing: order by layer then pos)
     val indexed =
-      if (opts.assignFids)
+      if (opts.assignFids && denseFids)
         base.withColumn("fidx",
           row_number().over(Window.orderBy("_layer", "pos")))
+      else if (opts.assignFids)
+        base.withColumn("fidx", col("pos") + 1)
       else base
 
     def signFlip(name: String, c: Column, reverse: Boolean): Column =

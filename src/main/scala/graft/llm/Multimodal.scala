@@ -87,4 +87,31 @@ object Multimodal {
     media.select(col("media_id"),
       explode(sequence(lit(0L),
         coalesce(col("meta.duration_ms"), lit(0L)), lit(everyMs))).as("frame_ts_ms"))
+
+  /** STUB resize: a real implementation decodes, scales to width×height,
+    * re-encodes. The fake keeps the signature and metadata contract —
+    * content replaced by a deterministic digest-sized payload, meta.width/
+    * height set to the target — so pipeline code (batch shape, schema)
+    * is fully exercisable without codecs.
+    */
+  def resize(media: DataFrame, width: Int, height: Int): DataFrame = {
+    val resizeUdf = udf((content: Array[Byte]) =>
+      if (content == null) null
+      else {
+        // stand-in for the scaled image: deterministic bytes derived from
+        // the source content and target size
+        val seed = java.util.Arrays.hashCode(content).toLong * 31 +
+          graft.functions.Hashing.splitmix64(width.toLong << 32 | height.toLong)
+        val out = new Array[Byte](64)
+        var i = 0
+        while (i < out.length) {
+          out(i) = (graft.functions.Hashing.splitmix64(seed + i) & 0xFF).toByte
+          i += 1
+        }
+        out
+      })
+    media.select(col("media_id"), resizeUdf(col("content")).as("content"),
+      struct(col("meta.format"), lit(width).as("width"), lit(height).as("height"),
+        col("meta.duration_ms")).as("meta"))
+  }
 }

