@@ -65,6 +65,28 @@ object Relational {
           max(col("c_custkey")).as("max_y"))
         .orderBy("c_mktsegment")),
 
+    // exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    // quantile_cont) — a Spark-side extension (§2.8: absent in reference)
+    "a5_percentile" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("price_p25"))
+        .orderBy("l_returnflag")),
+    // hierarchical aggregation via ROLLUP (subtotal + grand-total rows)
+    "a6_rollup" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+    // pivot: one column per linestatus value (manual CASE form in the
+    // oracle — identical output columns)
+    "f2_pivot" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum("l_quantity"), 2))
+        .orderBy("l_returnflag")),
+
     // ---- projections / filters / point lookups (SURVEY §2.2) ----
     // P1 get_edge(u,v): composite-key lookup (edge_table.py:136-145);
     // key resolved via min() scalar so it exists at every scale factor.
@@ -245,6 +267,22 @@ object Relational {
          round(max(c_acctbal),2) AS max_x, min(c_custkey) AS min_y,
          max(c_custkey) AS max_y
          FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "a5_percentile" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+         round(quantile_cont(l_quantity, 0.9), 4) AS p90,
+         round(quantile_cont(l_extendedprice, 0.25), 4) AS price_p25
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "a6_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         round(sum(l_quantity), 2) AS qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "f2_pivot" ->
+      """SELECT l_returnflag,
+         round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F,
+         round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "p1_get_edge" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
          FROM lineitem WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)
