@@ -68,6 +68,11 @@ object Main {
         struct(lit("LineString").as("type"), coords.as("coordinates")))
       println(s"imported ${back.filter(size(col("geom.coordinates")) >= 2).count()} edges from $in")
 
+    case "landmarks" :: pkg :: weight :: lms if lms.nonEmpty =>
+      val g = GraphPackage.load(spark, pkg)
+      Route.landmarkDistances(spark, g, lms, weight)
+        .orderBy("landmark", "_n").show(100, truncate = false)
+
     case "route" :: pkg :: u :: v :: rest =>
       val weight = rest.headOption.getOrElse("_length")
       val g = GraphPackage.load(spark, pkg)

@@ -174,6 +174,61 @@ object Route {
     Some((vids.map(names).toList, totalDist))
   }
 
+  /** Weighted distances from up to ~32 landmark nodes in ONE Pregel run
+    * (vertex state = landmark→distance map, messages merge per-landmark
+    * minima) — the batch form of repeated SSSP for distance matrices /
+    * reachability analytics. Returns (_n, landmark, distance).
+    */
+  def landmarkDistances(spark: SparkSession, g: PropertyGraph,
+      landmarks: Seq[String], weightCol: String): DataFrame = {
+    import spark.implicits._
+    require(landmarks.nonEmpty && landmarks.size <= 64,
+      "1..64 landmarks per pass (state size is |landmarks| per vertex)")
+    val rg = fromPropertyGraph(g, weightCol)
+    val lmVids: Map[VertexId, String] = rg.idOf
+      .filter(col("_n").isin(landmarks: _*)).collect()
+      .map(r => r.getLong(1) -> r.getString(0)).toMap
+
+    type State = Map[VertexId, Double]
+    val init = rg.graph.mapVertices((vid, _) =>
+      if (lmVids.contains(vid)) Map(vid -> 0.0) else Map.empty[VertexId, Double])
+    def merge(a: State, b: State): State =
+      (a.keySet ++ b.keySet).iterator.map { k =>
+        k -> math.min(a.getOrElse(k, Double.PositiveInfinity),
+          b.getOrElse(k, Double.PositiveInfinity))
+      }.toMap
+    val result = init.pregel(Map.empty[VertexId, Double])(
+      vprog = (_, state, msg) => merge(state, msg),
+      sendMsg = t => {
+        val candidate = t.srcAttr.map { case (lm, d) => lm -> (d + t.attr) }
+        val improved = candidate.filter { case (lm, d) =>
+          d < t.dstAttr.getOrElse(lm, Double.PositiveInfinity)
+        }
+        if (improved.nonEmpty) Iterator((t.dstId, improved)) else Iterator.empty
+      },
+      mergeMsg = merge)
+
+    val rows = result.vertices.flatMap { case (vid, dists) =>
+      dists.iterator.map { case (lm, d) => (vid, lm, d) }
+    }.toDF("_vid", "_lmvid", "distance")
+    val names = rg.idOf
+    rows.join(names, "_vid")
+      .join(names.select(col("_vid").as("_lmvid"), col("_n").as("landmark")), "_lmvid")
+      .select(col("_n"), col("landmark"), col("distance"))
+  }
+
+  /** Closeness centrality from a landmark pass: 1 / mean distance to the
+    * reachable landmark set (a standard landmark approximation of exact
+    * closeness, exact when every node is a landmark).
+    */
+  def closeness(spark: SparkSession, g: PropertyGraph, landmarks: Seq[String],
+      weightCol: String): DataFrame = {
+    landmarkDistances(spark, g, landmarks, weightCol)
+      .filter(col("distance") > 0)
+      .groupBy("_n")
+      .agg((lit(1.0) / avg(col("distance"))).as("closeness"))
+  }
+
   /** PageRank centrality over the edge structure (ref README "centrality
     * measures", `README.md:66-68`), returned as (_n, rank).
     */

@@ -47,6 +47,23 @@ class RouteSpec extends AnyFunSuite {
       .contains((Seq(Fixture.TestNode1), 0.0)))
   }
 
+  test("multi-landmark distances agree with point-to-point Dijkstra") {
+    val landmarks = Seq(leafWest, Fixture.TestNode1)
+    val dists = Route.landmarkDistances(spark, g, landmarks, "_length")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // distance leafWest -> TestNode1 equals the dedicated query
+    val Some((_, cost)) = Route.shortestPathPregel(g, leafWest, Fixture.TestNode1, "_length")
+    assert(math.abs(dists((Fixture.TestNode1, leafWest)) - cost) < 1e-9)
+    // landmarks are at distance 0 of themselves
+    assert(dists((leafWest, leafWest)) == 0.0)
+    // symmetric graph: both directions agree
+    assert(math.abs(dists((Fixture.TestNode1, leafWest)) - dists((leafWest, Fixture.TestNode1))) < 1e-9)
+    // every node reaches both landmarks (connected star)
+    assert(dists.size == 5 * 2)
+    val close = Route.closeness(spark, g, landmarks, "_length").collect()
+    assert(close.nonEmpty && close.forall(_.getDouble(1) > 0))
+  }
+
   test("pageRank: hub outranks leaves") {
     val ranks = Route.pageRank(spark, g).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
