@@ -63,6 +63,11 @@ object LlmQueries {
       t(s, d, "documents")
         .select(col("doc_id"), Dedup.simhashUdf(col("text")).as("simhash"))
         .orderBy("doc_id")),
+    // full pipeline: LSH pairs → verified edges → connected components →
+    // representatives + singletons (rows-only: sketch-based candidates)
+    "dedup_near_pipeline" -> ((s, d) =>
+      Dedup.dedupNear(t(s, d, "documents"), "doc_id", "text", threshold = 0.8)
+        .select("doc_id").orderBy("doc_id")),
     "dedup_embedding_cosine" -> ((s, d) =>
       Similarity.topSimilarPairs(t(s, d, "embeddings"), "vec_id", "embedding", 20)),
 

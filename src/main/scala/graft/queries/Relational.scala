@@ -236,6 +236,29 @@ object Relational {
         (col("p_size") % 7).as("m"))
         .orderBy("p_partkey")),
 
+    // date part extraction
+    "f3_date_funcs" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("yr", "mo")),
+    // string-distance scalar (fuzzy matching building block)
+    "f4_levenshtein" -> ((s, d) =>
+      t(s, d, "part")
+        .select(col("p_partkey"),
+          levenshtein(col("p_brand"), col("p_type")).as("lev"),
+          levenshtein(col("p_name"), col("p_brand")).as("lev2"))
+        .orderBy("p_partkey")),
+    // stream-enrichment pattern: events joined to a broadcast dimension
+    "e7_enrich_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val c = t(s, d, "customer")
+      ev.join(broadcast(c), ev("user_id") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+        .orderBy("c_mktsegment")
+    }),
+
     // ---- time / events ----
     "e1_hourly_agg" -> ((s, d) =>
       t(s, d, "events")
@@ -366,6 +389,19 @@ object Relational {
       """SELECT p_partkey, upper(p_brand) AS brand_u, substr(p_name,1,5) AS name5,
          round(sqrt(p_retailprice),4) AS sq, p_size % 7 AS m
          FROM part ORDER BY p_partkey""",
+    "f3_date_funcs" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+         CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+         count(*) AS n, round(sum(o_totalprice), 2) AS total
+         FROM orders GROUP BY yr, mo ORDER BY yr, mo""",
+    "f4_levenshtein" ->
+      """SELECT p_partkey, levenshtein(p_brand, p_type) AS lev,
+         levenshtein(p_name, p_brand) AS lev2
+         FROM part ORDER BY p_partkey""",
+    "e7_enrich_join" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS total_value
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "e1_hourly_agg" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts, event_type,
          count(*) AS n, round(sum(value),2) AS total
