@@ -16,6 +16,8 @@ import graft.store.GraphPackage
   *   stats <pkg>
   *   dwithin <pkg> <lon> <lat> <meters>
   *   route <pkg> <u> <v> [weightCol]
+  *   landmarks <pkg> <weightCol> <node...>
+  *   export-gpkg <pkg> <outdir> / import-gpkg <dir>
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -89,7 +91,10 @@ object Main {
           |  build <out.graft> <infile.geojson...> [--precision P] [--changes-sign c1,c2]
           |  stats <pkg>
           |  dwithin <pkg> <lon> <lat> <meters>
-          |  route <pkg> <u> <v> [weightCol]""".stripMargin)
+          |  route <pkg> <u> <v> [weightCol]
+          |  landmarks <pkg> <weightCol> <node...>
+          |  export-gpkg <pkg> <outdir>
+          |  import-gpkg <dir>""".stripMargin)
       sys.exit(2)
   }
 

@@ -174,7 +174,7 @@ object Route {
     Some((vids.map(names).toList, totalDist))
   }
 
-  /** Weighted distances from up to ~32 landmark nodes in ONE Pregel run
+  /** Weighted distances from up to 64 landmark nodes in ONE Pregel run
     * (vertex state = landmark→distance map, messages merge per-landmark
     * minima) — the batch form of repeated SSSP for distance matrices /
     * reachability analytics. Returns (_n, landmark, distance).
@@ -188,6 +188,8 @@ object Route {
     val lmVids: Map[VertexId, String] = rg.idOf
       .filter(col("_n").isin(landmarks: _*)).collect()
       .map(r => r.getLong(1) -> r.getString(0)).toMap
+    val missing = landmarks.distinct.toSet -- lmVids.values.toSet
+    require(missing.isEmpty, s"unknown landmark node(s): ${missing.mkString(", ")}")
 
     type State = Map[VertexId, Double]
     val init = rg.graph.mapVertices((vid, _) =>
@@ -208,12 +210,13 @@ object Route {
       },
       mergeMsg = merge)
 
+    // landmark names are already on the driver — label vids with a plain
+    // map instead of a second join over the full node-id table
+    val lmNames = lmVids
     val rows = result.vertices.flatMap { case (vid, dists) =>
-      dists.iterator.map { case (lm, d) => (vid, lm, d) }
-    }.toDF("_vid", "_lmvid", "distance")
-    val names = rg.idOf
-    rows.join(names, "_vid")
-      .join(names.select(col("_vid").as("_lmvid"), col("_n").as("landmark")), "_lmvid")
+      dists.iterator.map { case (lm, d) => (vid, lmNames(lm), d) }
+    }.toDF("_vid", "landmark", "distance")
+    rows.join(rg.idOf, "_vid")
       .select(col("_n"), col("landmark"), col("distance"))
   }
 
@@ -223,8 +226,10 @@ object Route {
     */
   def closeness(spark: SparkSession, g: PropertyGraph, landmarks: Seq[String],
       weightCol: String): DataFrame = {
+    // exclude only the self pair — a genuine zero-length edge to a
+    // landmark is a real distance, not a self-distance
     landmarkDistances(spark, g, landmarks, weightCol)
-      .filter(col("distance") > 0)
+      .filter(col("_n") =!= col("landmark"))
       .groupBy("_n")
       .agg((lit(1.0) / avg(col("distance"))).as("closeness"))
   }
