@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL exposure of the engine's functions.
+  *
+  * Two registration paths:
+  *  - `GraftExtensions` for config-based injection
+  *    (`spark.sql.extensions=graft.functions.GraftExtensions`) — the
+  *    SparkSessionExtensions route, so pure-SQL users get the native
+  *    expressions with no Scala imports;
+  *  - `registerAll(spark)` for an existing session (tests, notebooks).
+  *
+  * The reference has no UDF/extension surface at all (SURVEY §2.8); this is
+  * the Spark-idiomatic replacement for its Spatialite extension loading
+  * (`geopackage/__init__.py:70-77`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("bit_and_count"),
+      new ExpressionInfo(classOf[BitAndCount].getName, "bit_and_count"),
+      (exprs: Seq[Expression]) => BitAndCount(exprs(0), exprs(1))))
+  }
+}
+
+object GraftExtensions {
+  /** Register every graft SQL function on an existing session. */
+  def registerAll(spark: SparkSession): Unit = {
+    import graft.geo.Geo
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.registerFunction(spark, "dot_product",
+      exprs => DotProduct(exprs(0), exprs(1)))
+    ColumnBridge.registerFunction(spark, "bit_and_count",
+      exprs => BitAndCount(exprs(0), exprs(1)))
+    spark.udf.register("haversine_m",
+      (lon1: Double, lat1: Double, lon2: Double, lat2: Double) =>
+        Geo.haversine(lon1, lat1, lon2, lat2))
+    spark.udf.register("node_id",
+      (lon: Double, lat: Double, precision: Int) => Geo.nodeId(lon, lat, precision))
+    spark.udf.register("minhash_signature",
+      (text: String) => graft.llm.Dedup.minhashSignatureScala(text, 64, 2))
+    spark.udf.register("simhash", graft.llm.Dedup.simhashUdf)
+    spark.udf.register("rolling_fingerprint", graft.llm.Text.rollingFingerprintUdf)
+    spark.udf.register("lang_id", graft.llm.Text.langIdUdf)
+  }
+}

@@ -55,7 +55,7 @@ object Dedup {
     f(text)
   }
 
-  private[llm] def minhashSignatureScala(
+  private[graft] def minhashSignatureScala(
       text: String, numHashes: Int, shingleN: Int): Array[Long] = {
     val p = 4294967311L // smallest prime > 2^32
     val as = Array.tabulate(numHashes)(i =>
