@@ -1,0 +1,44 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Dumps formatted physical plans for headline queries to EXPLAINS.md —
+  * the pushdown/pruning/broadcast/codegen evidence, regenerable with
+  * `sbt "runMain graft.ExplainDump <sfDir> <outFile>"`.
+  */
+object ExplainDump {
+  val Headline = Seq(
+    "q1_agg", "j1_join_fk", "p1_get_edge", "g1_bbox", "g4_proximity_join",
+    "dedup_embedding_cosine", "w1_row_number", "e1_hourly_agg")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val out = if (args.length > 1) args(1) else "EXPLAINS.md"
+    val b = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+    Tables.sessionConfigs.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val sb = new StringBuilder
+    sb.append("# EXPLAINS — formatted physical plans for headline queries\n\n")
+    sb.append(s"Generated against `$sfDir` by `graft.ExplainDump`. Shows the\n")
+    sb.append("plan shapes the engine is designed around: pushed filters,\n")
+    sb.append("pruned scan schemas, broadcast joins, whole-stage codegen\n")
+    sb.append("(`[codegen id : N]`), and the native expressions.\n")
+    Headline.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect() // finalize AQE so the printed plan is the executed one
+      val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      sb.append(s"\n## $name\n\n```\n$plan```\n")
+    }
+    Files.writeString(Paths.get(out), sb.toString)
+    println(s"wrote $out (${Headline.size} plans)")
+    spark.stop()
+  }
+}
