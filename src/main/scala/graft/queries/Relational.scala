@@ -184,6 +184,25 @@ object Relational {
       t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
         .union(t(s, d, "supplier").select(col("s_nationkey")))
         .distinct().orderBy("nationkey")),
+    "u2_intersect" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersect(t(s, d, "supplier").select(col("s_nationkey")))
+        .orderBy("nationkey")),
+    "u3_except" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .except(t(s, d, "supplier").filter(col("s_acctbal") > 9500)
+          .select(col("s_nationkey")))
+        .orderBy("nationkey")),
+    "w3_window_battery" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag("o_orderkey", 1).over(w).as("prev_order"),
+          lead("o_orderkey", 1).over(w).as("next_order"),
+          rank().over(w).as("rnk"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
     "topk_orders" -> ((s, d) =>
       t(s, d, "orders")
         .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
@@ -362,6 +381,22 @@ object Relational {
            SELECT c_nationkey AS nationkey FROM customer
            UNION ALL SELECT s_nationkey FROM supplier)
          ORDER BY nationkey""",
+    "u2_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""",
+    "u3_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         EXCEPT SELECT s_nationkey FROM supplier WHERE s_acctbal > 9500
+         ORDER BY nationkey""",
+    "w3_window_battery" ->
+      """SELECT o_custkey, o_orderkey,
+         lag(o_orderkey) OVER w AS prev_order,
+         lead(o_orderkey) OVER w AS next_order,
+         rank() OVER w AS rnk,
+         ntile(4) OVER w AS quartile
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
     "topk_orders" ->
       """SELECT o_orderkey, round(o_totalprice,2) AS price FROM orders
          ORDER BY price DESC, o_orderkey ASC LIMIT 10""",
