@@ -53,7 +53,7 @@ object Spatial {
         col(s"$BBoxCol.max_x"), col(s"$BBoxCol.max_y"))))
   }
 
-  private[spatial] def coveredCells(minX: Double, minY: Double,
+  private[graft] def coveredCells(minX: Double, minY: Double,
       maxX: Double, maxY: Double, cellDeg: Double): Seq[Long] = {
     val r0 = math.floor((minY + 90.0) / cellDeg).toLong
     val r1 = math.floor((maxY + 90.0) / cellDeg).toLong
@@ -71,7 +71,7 @@ object Spatial {
   /** Grid cells overlapping a query bbox (plus the catch-all cell for
     * geometries too large to duplicate).
     */
-  private[spatial] def cellsFor(left: Double, bottom: Double, right: Double,
+  private[graft] def cellsFor(left: Double, bottom: Double, right: Double,
       top: Double, cellDeg: Double): Option[Seq[Long]] = {
     val r0 = math.floor((bottom + 90.0) / cellDeg).toLong
     val r1 = math.floor((top + 90.0) / cellDeg).toLong
