@@ -83,6 +83,15 @@ class PropertyGraphSpec extends AnyFunSuite {
     assert(Files.exists(java.nio.file.Paths.get(dir, "metadata.json")))
   }
 
+  test("saving twice to the same path is idempotent (test_rtree.py parity)") {
+    val dir = Files.createTempDirectory("graft-twice").resolve("t.graft").toString
+    GraphPackage.save(g, dir)
+    GraphPackage.save(g, dir) // overwrite path: delete + atomic rename
+    val g2 = GraphPackage.load(spark, dir)
+    assert(g2.size() == 8 && g2.order() == 5)
+    assert(g2.dwithin(-122.3132940, 47.6598762, 0.1).count() == 2)
+  }
+
   test("custom cell size survives save/load and keeps pruning correct") {
     val dir = Files.createTempDirectory("graft-cell").resolve("c.graft").toString
     GraphPackage.save(g, dir, cellDeg = 0.5)
