@@ -42,6 +42,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.length == batch.length && got.sameElements(batch))
   }
 
+  test("streaming sliding-window agg == batch e5 query") {
+    val stream = EventStream.readEvents(spark, dir)
+    val agg = EventStream.normalize(stream)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("n"), col("total"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("sliding_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("sliding_out").orderBy("win_start", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val batch = SparkEntry.queries("e5_sliding_agg")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == batch.length && got.sameElements(batch))
+  }
+
   test("streaming sessionization == batch sessionization") {
     val stream = EventStream.readEvents(spark, dir)
     val q = EventStream.sessionize(spark, stream)
