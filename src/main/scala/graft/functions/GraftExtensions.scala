@@ -19,14 +19,16 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    // `coerced` casts inputs to the canonical array element type, so SQL
+    // callers can pass e.g. the array<float> embeddings column directly
     e.injectFunction((
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => DotProduct.coerced(exprs(0), exprs(1))))
     e.injectFunction((
       new FunctionIdentifier("bit_and_count"),
       new ExpressionInfo(classOf[BitAndCount].getName, "bit_and_count"),
-      (exprs: Seq[Expression]) => BitAndCount(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => BitAndCount.coerced(exprs(0), exprs(1))))
   }
 }
 
@@ -36,9 +38,9 @@ object GraftExtensions {
     import graft.geo.Geo
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.registerFunction(spark, "dot_product",
-      exprs => DotProduct(exprs(0), exprs(1)))
+      exprs => DotProduct.coerced(exprs(0), exprs(1)))
     ColumnBridge.registerFunction(spark, "bit_and_count",
-      exprs => BitAndCount(exprs(0), exprs(1)))
+      exprs => BitAndCount.coerced(exprs(0), exprs(1)))
     spark.udf.register("haversine_m",
       (lon1: Double, lat1: Double, lon2: Double, lat2: Double) =>
         Geo.haversine(lon1, lat1, lon2, lat2))

@@ -1,12 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.functions.sqrt
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expression for the embedding hot path: a primitive-loop
   * dot product that stays inside whole-stage codegen (the
@@ -20,7 +20,10 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // inputs are cast to array<double> by the VectorFunctions.dot wrapper
+  // inputs must already be array<double>; build via DotProduct.coerced (or
+  // the VectorFunctions.dot wrapper) so any numeric array input — e.g. the
+  // array<float> embeddings column from SQL — gets an element-wise cast
+  // instead of getDouble reading float-packed data
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
 
@@ -62,7 +65,8 @@ case class DotProduct(left: Expression, right: Expression)
 case class BitAndCount(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  // see DotProduct: build via BitAndCount.coerced from SQL
+  override def dataType: DataType = LongType
   override def prettyName: String = "bit_and_count"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -93,6 +97,19 @@ case class BitAndCount(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): BitAndCount =
     copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  /** Builder for the SQL surface: casts both inputs to array<double> (a
+    * no-op cast when already canonical, removed by SimplifyCasts).
+    */
+  def coerced(a: Expression, b: Expression): DotProduct =
+    DotProduct(Cast(a, ArrayType(DoubleType)), Cast(b, ArrayType(DoubleType)))
+}
+
+object BitAndCount {
+  def coerced(a: Expression, b: Expression): BitAndCount =
+    BitAndCount(Cast(a, ArrayType(LongType)), Cast(b, ArrayType(LongType)))
 }
 
 object VectorFunctions {

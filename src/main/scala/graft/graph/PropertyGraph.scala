@@ -165,15 +165,24 @@ class PropertyGraph(val nodes: DataFrame, val edges: DataFrame,
     * reference's auto-ALTER).
     */
   def updateEdges(updates: DataFrame): PropertyGraph = {
+    import graft.spatial.Spatial
     val updCols = updates.columns.filterNot(c => c == "_u" || c == "_v")
+    // same rationale as addEdges: when geometries move, the stored _bbox/_cell
+    // become stale, and Spatial.ensureBBox keeps an existing _bbox — so spatial
+    // queries would silently use the old extents; strip and let the next
+    // package save (or ensureBBox) recompute them
+    val edges0 =
+      if (updCols.contains("geom"))
+        edges.drop(Seq(Spatial.BBoxCol, Spatial.CellCol).filter(edges.columns.contains): _*)
+      else edges
     // duplicate update keys would fan matched edges out through the join,
     // breaking the (_u,_v)-unique invariant; a DataFrame batch has no row
     // order to honor, so keep one arbitrary-but-single row per key
     val renamed = updCols.foldLeft(updates.dropDuplicates("_u", "_v"))(
       (d, c) => d.withColumnRenamed(c, s"_upd_$c"))
-    val joined = edges.join(renamed, Seq("_u", "_v"), "left")
+    val joined = edges0.join(renamed, Seq("_u", "_v"), "left")
     val out = updCols.foldLeft(joined) { (d, c) =>
-      if (edges.columns.contains(c))
+      if (edges0.columns.contains(c))
         d.withColumn(c, coalesce(col(s"_upd_$c"), col(c)))
       else d.withColumn(c, col(s"_upd_$c"))
     }

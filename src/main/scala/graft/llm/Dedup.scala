@@ -157,7 +157,12 @@ object Dedup {
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
-    val nb = math.min(maxDist + 1, 16)
+    // pigeonhole over a 64-bit signature needs maxDist+1 non-empty bands;
+    // silently clamping the band count for larger distances would break the
+    // recall guarantee (qualifying pairs missed with no error)
+    require(maxDist >= 0 && maxDist < 16,
+      s"simhash banding supports maxDist in [0, 15] for a 64-bit signature, got $maxDist")
+    val nb = maxDist + 1
     val base = 64 / nb
     val extra = 64 % nb
     val sizes = Seq.tabulate(nb)(i => base + (if (i < extra) 1 else 0))

@@ -49,8 +49,12 @@ object AsOfJoin {
 
     // right rows sort before left rows at equal ts (side 0 < 1), so a left
     // row at ts T sees right rows with ts <= T — backward as-of semantics.
+    // Among right rows tied on (key, ts), the carried row is the one whose
+    // carry-struct hash is greatest — an arbitrary but deterministic choice,
+    // stable across runs/retries (a bare (ts, side) order would let the
+    // shuffle's arrival order pick the winner).
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(tsCol).asc, col("_side").asc)
+      .orderBy(col(tsCol).asc, col("_side").asc, xxhash64(col("_r")).asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val filled = merged.withColumn("_r", last(col("_r"), ignoreNulls = true).over(w))
     filled.filter(col("_side") === 1)

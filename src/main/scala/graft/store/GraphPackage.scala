@@ -54,10 +54,17 @@ object GraphPackage {
          |}""".stripMargin
     Files.writeString(Paths.get(tmp, "metadata.json"), metadata)
 
-    // atomic finalize (ref build.py:34-47)
+    // atomic finalize (ref build.py:34-47). Overwrites move the previous
+    // package aside first, so a crash anywhere in the sequence leaves either
+    // the old package (possibly under .old) or the new one on disk — never
+    // neither (deleting dst before the move would lose it on a crash).
     val dst = Paths.get(path)
-    deleteRecursive(dst)
+    val bak = Paths.get(path + ".old")
+    deleteRecursive(bak)
+    val hadOld = Files.exists(dst)
+    if (hadOld) Files.move(dst, bak, StandardCopyOption.ATOMIC_MOVE)
     Files.move(Paths.get(tmp), dst, StandardCopyOption.ATOMIC_MOVE)
+    if (hadOld) deleteRecursive(bak)
   }
 
   def load(spark: SparkSession, path: String): PropertyGraph = {

@@ -34,4 +34,19 @@ class ExtensionsSpec extends AnyFunSuite {
       "SELECT lang_id('the cat and the dog went to the park') AS l").head.getString(0)
     assert(lang == "en")
   }
+
+  test("SQL expressions coerce non-canonical input types (float embeddings, int masks)") {
+    GraftExtensions.registerAll(spark)
+    // the embeddings table stores array<float>; analysis must insert the
+    // element cast instead of reading float-packed data as doubles
+    val dotF = spark.sql(
+      """SELECT dot_product(cast(array(1.0, 2.0) AS array<float>),
+        |                   cast(array(3.0, 4.5) AS array<float>)) AS d""".stripMargin)
+      .head.getDouble(0)
+    assert(dotF == 12.0)
+    val popI = spark.sql(
+      "SELECT bit_and_count(cast(array(3) AS array<int>), cast(array(6) AS array<int>)) AS n")
+      .head.getLong(0)
+    assert(popI == 1L)
+  }
 }

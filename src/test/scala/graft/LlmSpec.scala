@@ -61,6 +61,14 @@ class LlmSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
   }
 
+  test("simhash banding rejects maxDist beyond the pigeonhole guarantee") {
+    // 16 bands of a 64-bit signature guarantee recall only for maxDist <= 15;
+    // clamping silently would drop qualifying pairs with no error
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDups(docs, "doc_id", "text", maxDist = 16)
+    }
+  }
+
   test("near-dup dedup pipeline keeps one representative per cluster plus singletons") {
     val kept = Dedup.dedupNear(docs, "doc_id", "text", threshold = 0.5)
       .select("doc_id").collect().map(_.getLong(0)).toSet

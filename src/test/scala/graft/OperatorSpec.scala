@@ -60,6 +60,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.getAs[Long]("qty") == 2L)
   }
 
+  test("as-of join breaks (key, ts) ties deterministically across input orders") {
+    val left = Seq((1L, 10L)).toDF("k", "ts")
+    val dups = Seq((1L, 5L, "p1"), (1L, 5L, "p2"), (1L, 5L, "p3"))
+    val picks = Seq(dups, dups.reverse, Seq(dups(1), dups(2), dups(0))).map { order =>
+      val right = order.toDF("k", "ts", "payload").repartition(3)
+      AsOfJoin.backward(left, right, Seq("k"), "ts").collect().head.getAs[String]("payload")
+    }
+    // all three right rows tie at ts=5; the carried one must not depend on
+    // input order or partitioning
+    assert(picks.distinct.size == 1)
+  }
+
   test("as-of join refuses colliding carry column names") {
     val left = Seq((1L, 3L, 9.9)).toDF("k", "ts", "price")
     val right = Seq((1L, 1L, 5.0)).toDF("k", "ts", "price")

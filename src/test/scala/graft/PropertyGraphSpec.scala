@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -146,6 +146,35 @@ class PropertyGraphSpec extends AnyFunSuite {
     assert(g2.dwithin(9.0005, 9.0, 50.0).count() == 1)
     // and the old fixture query still works
     assert(g2.dwithin(-122.3132940, 47.6598762, 0.1).count() == 2)
+  }
+
+  test("updateEdges that moves a geometry refreshes spatial query results") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-upd-geom").resolve("u.graft").toString
+    GraphPackage.save(g, dir)
+    val loaded = GraphPackage.load(spark, dir)
+    // move one edge's geometry far away; the loaded edges carry a stored
+    // _bbox, which must not survive the update (it would keep the moved edge
+    // visible at its OLD location and invisible at the new one)
+    val upd = Seq((Fixture.TestNode1, Fixture.TestNode2)).toDF("_u", "_v")
+      .withColumn("geom", struct(lit("LineString").as("type"),
+        typedLit(Seq(Seq(9.0, 9.0), Seq(9.001, 9.0))).as("coordinates")))
+    val g2 = loaded.updateEdges(upd)
+    assert(g2.size() == 8)
+    assert(g2.dwithin(9.0005, 9.0, 50.0).count() == 1) // found at new location
+    // only the un-moved reverse edge remains at the hub
+    assert(g2.dwithin(-122.3132940, 47.6598762, 0.1).count() == 1)
+  }
+
+  test("save over an existing package leaves no backup behind and survives a stale one") {
+    val dir = Files.createTempDirectory("graft-bak").resolve("b.graft").toString
+    GraphPackage.save(g, dir)
+    // simulate a crash that left a stale backup from an earlier overwrite
+    Files.createDirectories(Paths.get(dir + ".old"))
+    GraphPackage.save(g, dir)
+    assert(!Files.exists(Paths.get(dir + ".old")))
+    assert(!Files.exists(Paths.get(dir + ".tmp")))
+    assert(GraphPackage.load(spark, dir).size() == 8)
   }
 
   test("addEdges without geometry still creates endpoint nodes") {
