@@ -207,8 +207,13 @@ object Dedup {
     * scan is |docs|²/2 × vocab/64 long-ops instead — measured ~50× faster
     * on the synthetic corpus.
     */
-  def ngramJaccardPairsBitset(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 2): DataFrame = {
+  /** Dictionary-encoded shingle bitsets: one row per document with
+    * (id, bits: array<long>, n = |shingle set|). Returns the DataFrame and
+    * the vocabulary size (docs with empty shingle sets are dropped — they
+    * intersect nothing).
+    */
+  private def docBitsets(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int): (DataFrame, Long) = {
     val sh = graft.operators.Par.fanOut(df)
       .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
     val vocab = sh.select(explode(col("sh")).as("s")).distinct()
@@ -227,7 +232,12 @@ object Dedup {
       .groupBy("id").agg(collect_list(col("sid")).as("sids"))
       .select(col("id"), toBits(col("sids"), lit(width)).as("bits"),
         size(col("sids")).as("n"))
+    (docBits, vocab.count())
+  }
 
+  def ngramJaccardPairsBitset(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 2): DataFrame = {
+    val (docBits, _) = docBitsets(df, idCol, textCol, shingleN)
     val a = docBits.select(col("id").as("a"), col("bits").as("ba"), col("n").as("na"))
     val b = docBits.select(col("id").as("b"), col("bits").as("bb"), col("n").as("nb"))
     a.crossJoin(b).filter(col("a") < col("b"))
@@ -236,6 +246,112 @@ object Dedup {
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .select("a", "b", "jaccard")
+  }
+
+  /** Exact top-k document pairs by word n-gram Jaccard, ordered by
+    * (jaccard rounded to 4 decimals DESC, a ASC, b ASC) — the sort the
+    * dedup report queries use.
+    *
+    * The synthetic corpora have tiny shingle vocabularies (≈10³) where every
+    * token is frequent, so candidate pruning (prefix filtering / LSH) cannot
+    * cut the quadratic pair space — and a DataFrame cross join materializes
+    * all O(n²) rows through the join operator just to discard everything but
+    * k of them (measured ~50 s for 5k docs). Instead: broadcast the
+    * dictionary-encoded bitsets (n·vocab/8 bytes), scan the upper triangle
+    * in interleaved stripes — one task per stripe, so stripes cover equal
+    * work — and keep a bounded per-task top-k heap; only stripes×k rows ever
+    * leave the executors. O(n²·w/64) word-ops total, zero shuffle.
+    *
+    * This is the exact-baseline operator; at data scale where n² is
+    * unpayable, [[minhashNearDups]] (LSH) is the path. Vocabularies too big
+    * to dictionary-encode (> 64k) fall back to the inverted-index join.
+    */
+  def ngramJaccardTopK(df: DataFrame, idCol: String, textCol: String,
+      k: Int, shingleN: Int = 2): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val ordered = (pairs: DataFrame) => pairs
+      .orderBy(round(col("jaccard"), 4).desc, col("a"), col("b")).limit(k)
+    val (docBits, vocabSize) = docBitsets(df, idCol, textCol, shingleN)
+    if (vocabSize == 0 || vocabSize > 65536)
+      return ordered(ngramJaccardPairsInverted(df, idCol, textCol, shingleN))
+
+    val spark = df.sparkSession
+    import spark.implicits._
+    // dense doc index, ordered by id so index order == id order (the heap's
+    // tie-break on (ia, ib) then matches the caller-visible (a, b) order)
+    val indexed = docBits
+      .withColumn("idx", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("id")) - 1)
+      .cache()
+    val rows = indexed.select("idx", "bits", "n").collect()
+    val n = rows.length
+    if (n < 2) return indexed.filter(lit(false))
+      .select(col("id").as("a"), col("id").as("b"), lit(0.0).as("jaccard"))
+    val bitsArr = new Array[Array[Long]](n)
+    val nsArr = new Array[Int](n)
+    rows.foreach { r =>
+      val i = r.getInt(0)
+      bitsArr(i) = r.getSeq[Long](1).toArray
+      nsArr(i) = r.getInt(2)
+    }
+    val bcBits = spark.sparkContext.broadcast(bitsArr)
+    val bcNs = spark.sparkContext.broadcast(nsArr)
+    val stripes = math.min(n, spark.sparkContext.defaultParallelism * 4)
+    val kk = k
+
+    val local = spark.range(0, stripes).as[Long].flatMap { s =>
+      val bits = bcBits.value
+      val ns = bcNs.value
+      // head of the heap = worst kept pair under (rjac desc, ia, ib)
+      val worstFirst = new Ordering[(Double, Int, Int, Double)] {
+        def compare(x: (Double, Int, Int, Double), y: (Double, Int, Int, Double)): Int = {
+          val c = java.lang.Double.compare(y._1, x._1)
+          if (c != 0) c
+          else {
+            val c2 = Integer.compare(x._2, y._2)
+            if (c2 != 0) c2 else Integer.compare(x._3, y._3)
+          }
+        }
+      }
+      val pq = scala.collection.mutable.PriorityQueue.empty[(Double, Int, Int, Double)](worstFirst)
+      def round4(x: Double): Double =
+        BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      var i = s.toInt
+      while (i < bits.length) {
+        val bi = bits(i)
+        val ni = ns(i)
+        var j = i + 1
+        while (j < bits.length) {
+          val bj = bits(j)
+          val len = math.min(bi.length, bj.length)
+          var inter = 0L
+          var w = 0
+          while (w < len) { inter += java.lang.Long.bitCount(bi(w) & bj(w)); w += 1 }
+          if (inter > 0) {
+            val jac = inter.toDouble / (ni + ns(j) - inter)
+            // cheap reject before the BigDecimal rounding: 4-dp rounding
+            // moves a value by < 5e-5, so anything 1e-4 below the kept
+            // worst can never displace it
+            if (pq.size < kk || jac >= pq.head._1 - 1e-4) {
+              val cand = (round4(jac), i, j, jac)
+              if (pq.size < kk) pq.enqueue(cand)
+              else if (worstFirst.compare(cand, pq.head) < 0) {
+                pq.dequeue(); pq.enqueue(cand)
+              }
+            }
+          }
+          j += 1
+        }
+        i += stripes.toInt
+      }
+      pq.iterator.map(t => (t._2.toLong, t._3.toLong, t._4)).toSeq
+    }.toDF("ia", "ib", "jaccard")
+
+    val idx = indexed.select(col("idx").cast("long"), col("id"))
+    ordered(local
+      .join(broadcast(idx.toDF("ia", "a")), "ia")
+      .join(broadcast(idx.toDF("ib", "b")), "ib")
+      .select("a", "b", "jaccard"))
   }
 
   /** Duplicate-cluster resolution: near-dup pairs form a graph whose

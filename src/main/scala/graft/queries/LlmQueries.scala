@@ -52,7 +52,9 @@ object LlmQueries {
       Dedup.exact(t(s, d, "documents"), "doc_id", "text")
         .select("doc_id").orderBy("doc_id")),
     "dedup_ngram_jaccard" -> ((s, d) => {
-      val pairs = Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", 2)
+      // exact top-20: striped-triangle bitset kernel with per-task bounded
+      // heaps — no O(n²)-row join materialization (Dedup.ngramJaccardTopK)
+      val pairs = Dedup.ngramJaccardTopK(t(s, d, "documents"), "doc_id", "text", 20, 2)
       pairs.select(col("a"), col("b"), round(col("jaccard"), 4).as("jac"))
         .orderBy(col("jac").desc, col("a"), col("b")).limit(20)
     }),

@@ -84,6 +84,20 @@ class LlmSpec extends AnyFunSuite {
     assert(!jac.contains((1L, 4L)) || jac((1L, 4L)) < 0.1)
   }
 
+  test("ngram jaccard top-k kernel equals the sorted-and-limited all-pairs result") {
+    val docs500 = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    for (k <- Seq(1, 20, 100)) {
+      val full = key(Dedup.ngramJaccardPairs(docs500, "doc_id", "text", 2)
+        .orderBy(round(col("jaccard"), 4).desc, col("a"), col("b")).limit(k))
+      val fast = key(Dedup.ngramJaccardTopK(docs500, "doc_id", "text", k, 2))
+      assert(fast == full, s"k=$k mismatch")
+    }
+  }
+
   test("LSH ANN top-k has high recall vs brute force on real embeddings") {
     val e = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
     val qv = e.filter(col("vec_id") === 0).select("embedding")
