@@ -11,7 +11,8 @@ object Registry {
     (LlmQueries.queries, LlmQueries.oracleSql),
     (EventQueries.queries, EventQueries.oracleSql),
     (GeoQueries.queries, GeoQueries.oracleSql),
-    (GraphBenchQueries.queries, GraphBenchQueries.oracleSql)
+    (GraphBenchQueries.queries, GraphBenchQueries.oracleSql),
+    (Extended.queries, Extended.oracleSql)
   )
 
   def queries: Map[String, Q] = providers.map(_._1).reduce(_ ++ _)

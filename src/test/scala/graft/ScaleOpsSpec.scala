@@ -67,6 +67,23 @@ class ScaleOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("band join equals the theta join and plans no nested-loop join") {
+    val sup = Tables.t(spark, "/root/testdata/sf0.001", "supplier")
+    val cust = Tables.t(spark, "/root/testdata/sf0.001", "customer")
+    val banded = graft.operators.BandJoin.join(sup, cust, "s_acctbal", "c_acctbal", 10.0)
+    val theta = sup.join(cust, abs(col("s_acctbal") - col("c_acctbal")) <= 10.0)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("s_suppkey", "c_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(key(banded) == key(theta))
+    // the point of the operator: an equi-join on the bucket id, never a
+    // cartesian/nested-loop scan of |L|x|R|
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"band join fell back to a nested-loop plan:\n$plan")
+    assert(key(theta).nonEmpty)
+  }
+
   test("IVF ANN recall vs brute force") {
     val e = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
     val qv = e.filter(col("vec_id") === 0).select("embedding")
