@@ -123,6 +123,20 @@ object Extended {
         .orderBy("user_id", "event_type")
     }),
 
+    // ---- vector aggregation ----
+    // per-bucket embedding centroid (element-wise mean): posexplode turns
+    // the array column into (pos, x) rows so the aggregation is a plain
+    // hash agg on (bucket, pos) — partial map-side combine, one shuffle,
+    // no array-valued accumulator; the building block for IVF training
+    // and cluster summaries
+    "v1_centroids" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .select((col("vec_id") % 10).as("bucket"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+        .groupBy("bucket", "pos")
+        .agg(round(avg("x"), 6).as("c"))
+        .orderBy("bucket", "pos")),
+
     // ---- scalar batteries ----
     "f5_string_battery" -> ((s, d) =>
       t(s, d, "part").select(
@@ -223,6 +237,11 @@ object Extended {
                ORDER BY ts, event_id) AS rn
            FROM events)
          WHERE rn = 1 ORDER BY user_id, event_type""",
+    "v1_centroids" ->
+      """SELECT vec_id % 10 AS bucket, CAST(i - 1 AS INT) AS pos,
+         round(avg(embedding[i]), 6) AS c
+         FROM embeddings, range(1, 65) t(i)
+         GROUP BY 1, 2 ORDER BY bucket, pos""",
     "f5_string_battery" ->
       """SELECT p_partkey, length(p_name) AS len, lower(p_type) AS lo,
          lpad(p_brand, 12, '*') AS lp, reverse(p_brand) AS rev,

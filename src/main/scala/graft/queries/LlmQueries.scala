@@ -167,6 +167,34 @@ object LlmQueries {
              PARTITION BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))) AS keep
            FROM documents)
          WHERE doc_id = keep ORDER BY doc_id""",
+    // the marker-word heuristic replicated in SQL, marker lists interpolated
+    // from Text.Markers so the two implementations cannot drift; tie-break =
+    // alphabetically-first max, exactly the UDF's sortBy((-score, lang))
+    "t3_lang_id" -> {
+      def marks(lang: String) =
+        Text.Markers(lang).toSeq.sorted.map("'" + _ + "'").mkString(",")
+      s"""WITH w AS (
+           SELECT doc_id, text,
+             length(regexp_replace(text, '[^\\x{4E00}-\\x{9FFF}]', '', 'g')) AS cjk,
+             list_filter(regexp_split_to_array(lower(text), '[^\\pL]+'), x -> x <> '') AS ws
+           FROM documents),
+         s AS (
+           SELECT doc_id, text, cjk, ws,
+             len(list_filter(ws, x -> x IN (${marks("en")}))) AS s_en,
+             len(list_filter(ws, x -> x IN (${marks("de")}))) AS s_de,
+             len(list_filter(ws, x -> x IN (${marks("es")}))) AS s_es,
+             len(list_filter(ws, x -> x IN (${marks("fr")}))) AS s_fr
+           FROM w)
+         SELECT doc_id,
+           CASE WHEN text IS NULL OR text = '' THEN 'und'
+                WHEN cjk * 2 >= length(text) THEN 'zh'
+                WHEN len(ws) = 0 THEN 'und'
+                WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS lang_pred
+         FROM s ORDER BY doc_id"""
+    },
     "dedup_ngram_jaccard" ->
       """WITH w AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),

@@ -77,6 +77,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("streaming dedup keeps exactly one event per (user, type) — batch e8 keys") {
+    val stream = EventStream.readEvents(spark, dir)
+    val dedup = EventStream.normalize(stream)
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates("user_id", "event_type")
+    val q = dedup.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("dedup_out").select("user_id", "event_type")
+    // streaming dropDuplicates keeps the first arrival (source order, not ts
+    // order), so only the KEY SET is comparable to the batch keep-earliest
+    // form — same dedup domain, documented arrival-order difference
+    val batch = SparkEntry.queries("e8_stream_dedup")(spark, "/root/testdata/sf0.001")
+      .select("user_id", "event_type")
+    assert(got.count() == batch.count())
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+  }
+
   test("stateful running user stats accumulate all events") {
     val stream = EventStream.readEvents(spark, dir)
     val q = EventStream.runningUserStats(spark, stream)
