@@ -167,6 +167,37 @@ object LlmQueries {
              PARTITION BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))) AS keep
            FROM documents)
          WHERE doc_id = keep ORDER BY doc_id""",
+    // Java's wraparound polynomial hash (h = 31h + c over long overflow)
+    // emulated with HUGEINT arithmetic mod 2^64, then min-winnowed over the
+    // same word 3-grams as Text.rollingFingerprintUdf; the corpus is
+    // ASCII-only so unicode(c) == charAt — an exact replica, not an
+    // approximation
+    "t5_rolling_fingerprint" ->
+      """WITH g AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+           FROM documents),
+         k AS (
+           SELECT doc_id,
+             CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                  ELSE [array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws) - 1)]
+             END AS grams
+           FROM g),
+         h AS (
+           SELECT doc_id,
+             list_transform(grams, s ->
+               list_reduce(
+                 list_prepend(1125899906842597::HUGEINT,
+                   list_transform(range(1, length(s) + 1), i -> unicode(s[i:i])::HUGEINT)),
+                 (a, b) -> (31 * a + b) % 18446744073709551616::HUGEINT)) AS hs
+           FROM k)
+         SELECT doc_id,
+           CAST(CASE WHEN m >= 9223372036854775808::HUGEINT
+                     THEN m - 18446744073709551616::HUGEINT ELSE m END AS BIGINT) AS rfp
+         FROM (SELECT doc_id, list_aggregate(
+             list_transform(hs, x -> CASE WHEN x >= 9223372036854775808::HUGEINT
+                     THEN x - 18446744073709551616::HUGEINT ELSE x END), 'min') AS m
+           FROM h)
+         ORDER BY doc_id""",
     // the marker-word heuristic replicated in SQL, marker lists interpolated
     // from Text.Markers so the two implementations cannot drift; tie-break =
     // alphabetically-first max, exactly the UDF's sortBy((-score, lang))
