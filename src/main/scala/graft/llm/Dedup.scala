@@ -41,7 +41,9 @@ object Dedup {
 
   /** MinHash signature as an array<long> of `numHashes` values over word
     * `shingleN`-grams. Hash family: h_i(x) = (a_i * x + b_i) mod p over a
-    * 32-bit murmur hash of the shingle (deterministic across runs).
+    * 32-bit base hash of the shingle (low 32 bits of
+    * splitmix64∘polyHash — deterministic across runs and bit-exactly
+    * replicable in the SQL oracle).
     *
     * Single-pass UDF on purpose: the expression-tree form (numHashes ×
     * array_min(transform(...))) re-traverses the shingle array per hash
@@ -55,17 +57,23 @@ object Dedup {
     f(text)
   }
 
+  /** The (a_i, b_i) affine-hash coefficient family — shared between the
+    * Scala signature computation and the SQL oracle builder so the two
+    * cannot drift.
+    */
+  private[graft] def hashCoeffs(numHashes: Int): (Array[Long], Array[Long]) = (
+    Array.tabulate(numHashes)(i =>
+      2L * (deterministicCoeff(2 * i) % (1L << 28)) + 1), // odd, < 2^29
+    Array.tabulate(numHashes)(i => deterministicCoeff(2 * i + 1) % (1L << 29)))
+
   private[graft] def minhashSignatureScala(
       text: String, numHashes: Int, shingleN: Int): Array[Long] = {
     val p = 4294967311L // smallest prime > 2^32
-    val as = Array.tabulate(numHashes)(i =>
-      2L * (deterministicCoeff(2 * i) % (1L << 28)) + 1) // odd, < 2^29
-    val bs = Array.tabulate(numHashes)(i =>
-      deterministicCoeff(2 * i + 1) % (1L << 29))
+    val (as, bs) = hashCoeffs(numHashes)
     val mins = Array.fill(numHashes)(Long.MaxValue)
     shinglesScala(text, shingleN).foreach { s =>
       // a < 2^29 and x < 2^32 keep x*a+b < 2^61: no 64-bit overflow
-      val x = scala.util.hashing.MurmurHash3.stringHash(s, 42).toLong & 0xFFFFFFFFL
+      val x = graft.functions.Hashing.mixHash(s) & 0xFFFFFFFFL
       var i = 0
       while (i < numHashes) {
         val h = (x * as(i) + bs(i)) % p
@@ -92,6 +100,11 @@ object Dedup {
     * each hashed to one bucket id. Docs sharing any band bucket are
     * candidates. Returns (id, band, bucket).
     */
+  /** Bucket id = polyHash of "band_sig1,sig2,..." — an 8-byte shuffle key
+    * like xxhash64 would give, but exactly replicable in the SQL oracle.
+    */
+  private val polyHashUdf = udf((s: String) => graft.functions.Hashing.polyHash(s))
+
   def lshBuckets(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleN: Int = 2): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
@@ -99,7 +112,7 @@ object Dedup {
     val sig = minhashSignature(col(textCol), numHashes, shingleN)
     graft.operators.Par.fanOut(df).select(col(idCol), posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws("_", b, concat_ws(",", slice(sig, b * r + 1, lit(r)))))))
+        b => polyHashUdf(concat_ws("_", b, concat_ws(",", slice(sig, b * r + 1, lit(r)))))))
       .as(Seq("band", "bucket")))
   }
 
@@ -128,15 +141,15 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash over word unigrams (murmur3-based, deterministic). */
+  /** 64-bit SimHash over word unigrams (splitmix64∘polyHash word bits —
+    * deterministic and bit-exactly replicable in the SQL oracle).
+    */
   val simhashUdf = udf((text: String) => {
     if (text == null) 0L
     else {
       val counts = new Array[Int](64)
       text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach { w =>
-        val h = scala.util.hashing.MurmurHash3.stringHash(w, 0).toLong & 0xFFFFFFFFL
-        val h2 = scala.util.hashing.MurmurHash3.stringHash(w, 1).toLong & 0xFFFFFFFFL
-        val bits = (h2 << 32) | h
+        val bits = graft.functions.Hashing.mixHash(w)
         var i = 0
         while (i < 64) {
           if (((bits >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1

@@ -63,8 +63,9 @@ object Text {
     md5(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")))
 
   /** Rolling (polynomial) hash fingerprint of word k-grams, winnowed to the
-    * minimum — robust to small edits at the document edges. Deterministic;
-    * not SQL-expressible (rows-only oracle).
+    * minimum — robust to small edits at the document edges. Deterministic
+    * and exactly oracled in SQL (HUGEINT mod-2^64 emulation of the
+    * wraparound poly hash).
     */
   val rollingFingerprintUdf = udf((text: String, k: Int) => {
     if (text == null) null
@@ -76,12 +77,7 @@ object Text {
     }
   })
 
-  private[llm] def polyHash(s: String): Long = {
-    var h = 1125899906842597L
-    var i = 0
-    while (i < s.length) { h = 31 * h + s.charAt(i); i += 1 }
-    h
-  }
+  private[llm] def polyHash(s: String): Long = graft.functions.Hashing.polyHash(s)
 
   /** Marker-word language ID over {en, de, es, fr, zh}: scores each
     * language by its function-word hits (+ CJK codepoint detection for zh);

@@ -124,7 +124,100 @@ object LlmQueries {
     })
   )
 
+  import OracleSql._
+
+  /** Shared CTE prefix computing the 64-hash MinHash signature and the 16
+    * per-band keys for every document — the bit-exact SQL replica of
+    * Dedup.minhashSignatureScala + lshBuckets (coefficients interpolated
+    * from Dedup.hashCoeffs so the two implementations cannot drift).
+    * Defines CTEs: w (words), g (distinct 2-gram shingles), hx (32-bit
+    * mixed shingle hashes), sg (signature), kb (band → key string).
+    */
+  private def minhashSigCtes: String = {
+    val (as, bs) = Dedup.hashCoeffs(64)
+    s"""w AS (
+         SELECT doc_id,
+           coalesce(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                x -> x <> ''), []) AS ws
+         FROM documents),
+       g AS (
+         SELECT doc_id, CASE WHEN len(ws) < 2 THEN []::VARCHAR[]
+           ELSE list_distinct([ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))])
+           END AS grams
+         FROM w),
+       hx AS (
+         SELECT doc_id, grams,
+           list_transform(${mixHashList("grams")}, h -> (h % 4294967296)::BIGINT) AS xs
+         FROM g),
+       sg AS (
+         SELECT doc_id, grams,
+           list_transform(range(64), i ->
+             CASE WHEN len(xs) = 0 THEN 9223372036854775807
+                  ELSE list_aggregate(list_transform(xs, x ->
+                         ((${longList(as.toSeq)})[i+1]*x + (${longList(bs.toSeq)})[i+1])
+                           % 4294967311), 'min') END) AS sig
+         FROM hx),
+       kb AS (
+         SELECT doc_id, grams, bb.band AS band,
+           bb.band::VARCHAR || '_' ||
+             array_to_string(list_slice(sig, bb.band*4+1, bb.band*4+4), ',') AS key
+         FROM sg CROSS JOIN (SELECT unnest(range(16)) AS band) bb)"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    // 64-bit SimHash replicated bit-exactly: word list → mixHash (splitmix64
+    // ∘ polyHash, HUGEINT mod-2^64 emulation) → per-bit majority vote →
+    // signed 64-bit reassembly
+    "dedup_simhash" ->
+      s"""WITH w AS (
+           SELECT doc_id,
+             coalesce(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                  x -> x <> ''), []) AS ws
+           FROM documents),
+         h AS (SELECT doc_id, ${mixHashList("ws")} AS hs FROM w),
+         b AS (
+           SELECT doc_id, pw,
+             len(list_filter(hs, x -> (x // pw) % 2 = 1)) * 2 - len(hs) AS score
+           FROM h CROSS JOIN (VALUES $bitPowerValues) bits(pw))
+         SELECT doc_id, ${toSigned("sm")} AS simhash
+         FROM (SELECT doc_id,
+                 sum(CASE WHEN score > 0 THEN pw ELSE 0::HUGEINT END) AS sm
+               FROM b GROUP BY doc_id)
+         ORDER BY doc_id""",
+    // MinHash signature + LSH band buckets, bit-exact (bucket = polyHash of
+    // the "band_sig,sig,.." string, signed)
+    "dedup_minhash_lsh" ->
+      s"""WITH $minhashSigCtes
+         SELECT doc_id, band::INT AS band, ${toSigned(polyHashScalar("key"))} AS bucket
+         FROM kb ORDER BY doc_id, band""",
+    // Full near-dedup pipeline: band-key-equality candidates (== bucket
+    // equality modulo 64-bit hash collisions) → exact Jaccard >= 0.8 verify
+    // → connected components via recursive closure → keep min-id
+    // representative per component plus all unpaired docs
+    "dedup_near_pipeline" ->
+      s"""WITH RECURSIVE $minhashSigCtes,
+         cand AS (
+           SELECT DISTINCT x1.doc_id AS a, x2.doc_id AS b
+           FROM kb x1 JOIN kb x2
+             ON x1.band = x2.band AND x1.key = x2.key AND x1.doc_id < x2.doc_id),
+         ver AS (
+           SELECT cand.a, cand.b FROM cand
+             JOIN g ga ON ga.doc_id = cand.a
+             JOIN g gb ON gb.doc_id = cand.b
+           WHERE CASE WHEN len(ga.grams) + len(gb.grams) = 0 THEN 1.0
+             ELSE len(list_intersect(ga.grams, gb.grams)) /
+               CAST(len(ga.grams) + len(gb.grams)
+                    - len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+             END >= 0.8),
+         sym AS (SELECT a, b FROM ver UNION SELECT b AS a, a AS b FROM ver),
+         reach AS (
+           SELECT a AS s, b AS t FROM sym
+           UNION
+           SELECT r.s, e.b FROM reach r JOIN sym e ON r.t = e.a),
+         rep AS (SELECT s, least(s, min(t)) AS rep FROM reach GROUP BY s)
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT s FROM rep WHERE rep < s)
+         ORDER BY doc_id""",
     "t1_token_count" ->
       """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
          FROM documents ORDER BY doc_id""",
