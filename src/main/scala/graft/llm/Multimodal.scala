@@ -51,8 +51,11 @@ object Multimodal {
       val h = java.util.Arrays.hashCode(content)
       val w = math.abs(h % 1024) + 1
       val ht = math.abs((h / 1024) % 1024) + 1
+      // floorMod keeps features in [0, 1) and, like every hash in this
+      // engine, stays bit-exactly replicable by the SQL oracle
       val feats = Array.tabulate(8) { i =>
-        (graft.functions.Hashing.splitmix64(h.toLong * 31 + i) % 1000).toDouble / 1000.0
+        java.lang.Math.floorMod(
+          graft.functions.Hashing.splitmix64(h.toLong * 31 + i), 1000L).toDouble / 1000.0
       }
       (w, ht, feats)
     }

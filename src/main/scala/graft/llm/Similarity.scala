@@ -59,6 +59,12 @@ object Similarity {
     graft.functions.Hashing.splitmix64(b.toLong << 32 | d.toLong).toDouble /
       Long.MaxValue.toDouble
 
+  /** The hyperplane rows (bit → weight vector) — shared with the SQL
+    * oracle builder so the two implementations cannot drift.
+    */
+  private[graft] def planeRows(dim: Int, nBits: Int): Seq[(Int, Seq[Double])] =
+    (0 until nBits).map(b => b -> (0 until dim).map(d => coeff(b, d)))
+
   /** ANN top-k: prune to vectors whose signature is within `maxBitDiff`
     * bits of the query signature (checked via bit_count of xor), then exact
     * cosine on the survivors. At scale the signature is a stored, bucketed

@@ -7,10 +7,11 @@ import graft.Tables.t
 import graft.llm.{Dedup, Multimodal, Similarity, Text}
 
 /** LLM-data-pipeline operators over the synthetic documents/embeddings
-  * tables. Oracle-expressible ops carry DuckDB SQL; sketch/UDF-based ops
-  * (language ID, minhash/simhash signatures, LSH ANN) are rows-only here
-  * and verified behaviorally in LlmSpec (planted duplicates, recall vs
-  * brute force).
+  * tables. Every query here carries a bit-exact DuckDB oracle — including
+  * the sketch-based ones (minhash/simhash/LSH/IVF), whose hash kernels are
+  * deliberately built from splitmix64∘polyHash so the oracle can emulate
+  * them in HUGEINT arithmetic (see OracleSql). Behavioral properties
+  * (planted duplicates, ANN recall) are additionally covered in LlmSpec.
   */
 object LlmQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -66,7 +67,7 @@ object LlmQueries {
         .select(col("doc_id"), Dedup.simhashUdf(col("text")).as("simhash"))
         .orderBy("doc_id")),
     // full pipeline: LSH pairs → verified edges → connected components →
-    // representatives + singletons (rows-only: sketch-based candidates)
+    // representatives + singletons
     "dedup_near_pipeline" -> ((s, d) =>
       Dedup.dedupNear(t(s, d, "documents"), "doc_id", "text", threshold = 0.8)
         .select("doc_id").orderBy("doc_id")),
@@ -333,6 +334,60 @@ object LlmQueries {
            GROUP BY 1, 2, 3, 4)
          SELECT a, b, round(inter / CAST(na + nb - inter AS DOUBLE), 4) AS jac
          FROM p ORDER BY jac DESC, a, b LIMIT 20""",
+    // Hyperplane-LSH ANN replicated bit-exactly: signature sign bits use the
+    // same ascending-fold dot product (IEEE-identical), plane weights
+    // interpolated from Similarity.planeRows; final similarity via DuckDB's
+    // cosine (4-dp agreement proven by ann_brute_topk)
+    "ann_lsh_topk" -> {
+      val planes = Similarity.planeRows(64, 16).map { case (b, w) =>
+        s"($b, ${w.map(_.toString).mkString("[", ",", "]")}::DOUBLE[])"
+      }.mkString(",")
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                     FROM embeddings WHERE vec_id = 0),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+               FROM embeddings WHERE vec_id <> 0),
+         planes(pb, w) AS (VALUES $planes),
+         sigs AS (
+           SELECT vec_id, CAST(sum(CASE WHEN ${dotFold("ev", "w")} >= 0
+                                        THEN 1 << pb ELSE 0 END) AS BIGINT) AS sig
+           FROM v CROSS JOIN planes GROUP BY vec_id),
+         qs AS (
+           SELECT CAST(sum(CASE WHEN ${dotFold("qv", "w")} >= 0
+                                THEN 1 << pb ELSE 0 END) AS BIGINT) AS qsig
+           FROM q CROSS JOIN planes)
+         SELECT v.vec_id, round(list_cosine_similarity(ev, qv), 4) AS sim
+         FROM v JOIN sigs USING (vec_id) CROSS JOIN q CROSS JOIN qs
+         WHERE bit_count(xor(sig, qsig)) <= 6
+         ORDER BY sim DESC, vec_id LIMIT 10"""
+    },
+    // IVF ANN replicated: centroids = first 16 vectors by id, assignment =
+    // argmax cosine (exact-fold d/sqrt(na*nb), first-max tie-break), probe
+    // the 6 centroids nearest the query, exact cosine on the probed subset
+    "ann_ivf_topk" -> {
+      def cosF(a: String, b: String) =
+        s"${dotFold(a, b)} / sqrt(${dotFold(a, a)} * ${dotFold(b, b)})"
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+                     FROM embeddings WHERE vec_id <> 0),
+         q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id = 0),
+         c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, ev AS cv
+               FROM (SELECT * FROM v ORDER BY vec_id LIMIT 16)),
+         ac AS (SELECT vec_id, cid, ${cosF("ev", "cv")} AS cs
+                FROM v CROSS JOIN c),
+         asn AS (SELECT vec_id, cid FROM (
+                   SELECT vec_id, cid, row_number() OVER (
+                     PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn FROM ac)
+                 WHERE rn = 1),
+         pr AS (SELECT cid FROM (
+                  SELECT cid, row_number() OVER (
+                    ORDER BY ${cosF("qv", "cv")} DESC, cid) AS rn
+                  FROM c CROSS JOIN q)
+                WHERE rn <= 6)
+         SELECT v.vec_id, round(list_cosine_similarity(ev, qv), 4) AS sim
+         FROM v JOIN asn USING (vec_id) CROSS JOIN q
+         WHERE asn.cid IN (SELECT cid FROM pr)
+         ORDER BY sim DESC, vec_id LIMIT 10"""
+    },
     "dedup_embedding_cosine" ->
       """SELECT a.vec_id AS a, b.vec_id AS b,
            round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -350,6 +405,29 @@ object LlmQueries {
       """SELECT doc_id AS media_id, octet_length(CAST(text AS BLOB)) AS byte_len,
          sha256(text) AS sha, 'text/plain' AS format
          FROM documents ORDER BY media_id""",
+    // The deterministic decode stub replicated bit-exactly: Java
+    // Arrays.hashCode over the content bytes (int wraparound, emulated mod
+    // 2^32 — the corpus is ASCII so byte == codepoint), then width/height
+    // from truncating div/mod and f0 = floorMod(splitmix64(h*31), 1000)/1000
+    "mm2_decode_features" ->
+      s"""WITH hh AS (
+           SELECT doc_id,
+             list_reduce(list_prepend(1::HUGEINT,
+               list_transform(range(1, length(text)+1), i -> unicode(text[i:i])::HUGEINT)),
+               (a,b) -> (31*a+b) % 4294967296) AS hu
+           FROM documents),
+         hs AS (
+           SELECT doc_id,
+             (CASE WHEN hu >= 2147483648 THEN hu - 4294967296 ELSE hu END)::BIGINT AS h
+           FROM hh),
+         sm AS (
+           SELECT doc_id, h, (${splitmixList(s"[${toUnsigned("(h*31)")}]")})[1] AS f0u
+           FROM hs)
+         SELECT doc_id AS media_id,
+           (abs(h % 1024) + 1)::INT AS width,
+           (abs((h // 1024) % 1024) + 1)::INT AS height,
+           round(((${toSigned("f0u")} % 1000 + 1000) % 1000) / 1000.0, 4) AS f0
+         FROM sm ORDER BY media_id""",
     "mm3_frame_plan" ->
       """SELECT doc_id AS media_id,
            unnest(generate_series(0, octet_length(CAST(text AS BLOB)) * 10, 500)) AS frame_ts_ms

@@ -79,6 +79,15 @@ object OracleSql {
     */
   def mixHashList(listExpr: String): String = splitmixList(polyHashList(listExpr))
 
+  /** Exact replica of the engine's dot product (graft.functions.DotProduct
+    * and the driver-side while-loops): ascending-index left fold of
+    * elementwise products. IEEE ops in identical order give bit-identical
+    * doubles, so sign tests and comparisons agree across engines.
+    * Lambda vars: i (index), x/y (fold accumulator/element).
+    */
+  def dotFold(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]), (x,y) -> x+y)"
+
   /** SQL literal list of BIGINTs. */
   def longList(xs: Seq[Long]): String = xs.mkString("[", ",", "]")
 
