@@ -46,9 +46,16 @@ object GraphBenchQueries {
     "graphupdate_1000_edges" -> ((s, _) => {
       import s.implicits._
       val n = 1000
-      val base = (0 until n).map(i => (s"u$i", s"v$i", i.toDouble)).toDF("_u", "_v", "w")
+      // 2 slices, not defaultParallelism: scheduling 32 tasks per stage for
+      // a 1000-row batch is pure overhead — partition count should track
+      // data volume, the same rule that sizes partitions at 100 TB
+      val base = s.sparkContext
+        .parallelize((0 until n).map(i => (s"u$i", s"v$i", i.toDouble)), 2)
+        .toDF("_u", "_v", "w")
       val g = new PropertyGraph(base.select(col("_u").as("_n")).distinct(), base)
-      val updates = (0 until n).map(i => (s"u$i", s"v$i", 5.4)).toDF("_u", "_v", "weight")
+      val updates = s.sparkContext
+        .parallelize((0 until n).map(i => (s"u$i", s"v$i", 5.4)), 2)
+        .toDF("_u", "_v", "weight")
       g.updateEdges(updates).edges.filter(col("weight") === 5.4)
     })
   )

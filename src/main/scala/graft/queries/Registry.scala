@@ -12,7 +12,8 @@ object Registry {
     (EventQueries.queries, EventQueries.oracleSql),
     (GeoQueries.queries, GeoQueries.oracleSql),
     (GraphBenchQueries.queries, GraphBenchQueries.oracleSql),
-    (Extended.queries, Extended.oracleSql)
+    (Extended.queries, Extended.oracleSql),
+    (Extended2.queries, Extended2.oracleSql)
   )
 
   def queries: Map[String, Q] = providers.map(_._1).reduce(_ ++ _)
