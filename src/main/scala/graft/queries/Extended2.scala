@@ -132,7 +132,10 @@ object Extended2 {
       val edges = pairs.as[(Long, Long)].rdd
       val g = org.apache.spark.graphx.Graph.fromEdgeTuples(edges, 0)
         .partitionBy(org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
-      val n = g.triangleCount().vertices.map(_._2.toLong).fold(0L)(_ + _) / 3
+      // pairs is already distinct with a < b — the canonical form — so the
+      // general triangleCount's extra dedup + orientation shuffle is skipped
+      val n = org.apache.spark.graphx.lib.TriangleCount.runPreCanonicalized(g)
+        .vertices.map(_._2.toLong).fold(0L)(_ + _) / 3
       s.range(1).select(lit(n).as("n_triangles"))
     })
   )
