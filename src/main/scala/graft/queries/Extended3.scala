@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.functions.TopKAgg
+
+/** Round-2 surface extensions, batch 3: SCD-type-2 interval building,
+  * generator (explode family) battery, a typed bounded top-k UDAF,
+  * CSV/JSON source-sink round-trip, and GraphX connected components over
+  * per-customer order chains — each with a bit-exact DuckDB oracle.
+  */
+object Extended3 {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // ---- SCD2: collapse an event log into effective-dated type intervals ----
+    "e11_scd2" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val changes = t(s, d, "events")
+        .withColumn("pe", lag("event_type", 1).over(w))
+        .filter(col("pe").isNull || col("pe") =!= col("event_type"))
+      changes.select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts").as("valid_from"),
+          lead("ts", 1).over(w).as("valid_to"))
+        .orderBy("event_id")
+    }),
+
+    // ---- generator battery: ordinal explode of per-group arrays ----
+    "f8_generator_battery" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_linenumber"))).as("lns"))
+        .select(col("l_orderkey"), posexplode(col("lns")).as(Seq("pos", "ln")))
+        .orderBy("l_orderkey", "pos")),
+
+    // ---- typed UDAF: bounded top-k per group (O(k) buffer, partial-agg safe) ----
+    "a11_topk_udaf" -> ((s, d) => {
+      val top3 = udaf(new TopKAgg(3), org.apache.spark.sql.Encoders.product[(Double, Long)])
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(top3(col("l_extendedprice"), col("l_orderkey")).as("top3"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- CSV + JSON sink/source round-trip (schema-applied re-read) ----
+    "s7_format_roundtrip" -> ((s, d) => {
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_s7_" + d.replaceAll("[^a-zA-Z0-9]", "_")).getAbsolutePath
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity", "l_linenumber")
+      li.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
+      li.write.mode("overwrite").json(s"$dir/json")
+      val csv = s.read.option("header", "true").schema(li.schema).csv(s"$dir/csv")
+      val jsn = s.read.schema(li.schema).json(s"$dir/json")
+      // quantities are integer-valued, so the double sums are exact and the
+      // text round-trip cannot perturb them
+      csv.unionByName(jsn).groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum("l_quantity").cast("long").as("sum_qty"),
+          sum("l_linenumber").as("sum_ln"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- GraphX connected components over per-customer order chains ----
+    // Chains (not cliques) force multi-hop label propagation: the component
+    // id must travel the full chain length, exercising the iterative Pregel
+    // path rather than a single hash-agg. The oracle states the fixpoint
+    // (min orderkey per customer) directly.
+    "j10_connected_components" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      val chain = t(s, d, "orders").select("o_custkey", "o_orderkey")
+        .withColumn("nxt", lead("o_orderkey", 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("o_orderkey").as("a"), col("nxt").as("b"))
+      val g = org.apache.spark.graphx.Graph
+        .fromEdgeTuples(chain.as[(Long, Long)].rdd, 0)
+      g.connectedComponents().vertices
+        .toDF("o_orderkey", "component")
+        .orderBy("o_orderkey")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "e11_scd2" ->
+      """WITH ch AS (
+           SELECT * FROM (
+             SELECT event_id, user_id, event_type, ts,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pe
+             FROM events)
+           WHERE pe IS NULL OR pe <> event_type)
+         SELECT event_id, user_id, event_type, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+         FROM ch ORDER BY event_id""",
+    "f8_generator_battery" ->
+      """WITH g AS (
+           SELECT l_orderkey, list_sort(list(l_linenumber)) AS lns
+           FROM lineitem GROUP BY l_orderkey),
+         u AS (
+           SELECT l_orderkey, unnest(list_zip(range(1, len(lns) + 1), lns)) AS z
+           FROM g)
+         SELECT l_orderkey, z[1] - 1 AS pos, z[2] AS ln
+         FROM u ORDER BY l_orderkey, pos""",
+    "a11_topk_udaf" ->
+      """WITH r AS (
+           SELECT l_returnflag, l_orderkey,
+             row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice DESC, l_orderkey) AS rn
+           FROM lineitem)
+         SELECT l_returnflag,
+           array_to_string(list(l_orderkey ORDER BY rn), ',') AS top3
+         FROM r WHERE rn <= 3 GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "s7_format_roundtrip" ->
+      """SELECT l_returnflag, 2 * count(*) AS n,
+           CAST(2 * sum(l_quantity) AS BIGINT) AS sum_qty,
+           CAST(2 * sum(l_linenumber) AS BIGINT) AS sum_ln
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "j10_connected_components" ->
+      """WITH c AS (
+           SELECT o_custkey, count(*) AS n, min(o_orderkey) AS mn
+           FROM orders GROUP BY o_custkey)
+         SELECT o_orderkey, c.mn AS component
+         FROM orders o JOIN c ON o.o_custkey = c.o_custkey
+         WHERE c.n >= 2 ORDER BY o_orderkey"""
+  )
+}

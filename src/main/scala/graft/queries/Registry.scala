@@ -13,7 +13,8 @@ object Registry {
     (GeoQueries.queries, GeoQueries.oracleSql),
     (GraphBenchQueries.queries, GraphBenchQueries.oracleSql),
     (Extended.queries, Extended.oracleSql),
-    (Extended2.queries, Extended2.oracleSql)
+    (Extended2.queries, Extended2.oracleSql),
+    (Extended3.queries, Extended3.oracleSql)
   )
 
   def queries: Map[String, Q] = providers.map(_._1).reduce(_ ++ _)
