@@ -12,7 +12,8 @@ import org.apache.spark.sql.execution.ExplainMode
 object ExplainDump {
   val Headline = Seq(
     "q1_agg", "j1_join_fk", "p1_get_edge", "g1_bbox", "g4_proximity_join",
-    "dedup_embedding_cosine", "w1_row_number", "e1_hourly_agg")
+    "dedup_embedding_cosine", "w1_row_number", "e1_hourly_agg",
+    "e11_scd2", "e10_funnel", "a11_topk_udaf", "v2_vector_quantize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
