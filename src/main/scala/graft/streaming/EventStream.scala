@@ -65,6 +65,30 @@ object EventStream {
       .toDF("user_id", "event_id", "session_id")
   }
 
+  /** Watermarked stream-stream interval join: each click pairs with the
+    * same user's purchases in the following hour (the streaming form of the
+    * batch `e10_funnel` attribution join). Watermarks on both inputs plus
+    * the time-band condition let Spark bound the join state — click rows
+    * are evicted once the purchase watermark passes click ts + 1 hour, so
+    * state is O(in-flight window), not O(stream history).
+    */
+  def funnelJoin(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val n = normalize(events)
+    val clicks = n.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", watermark)
+    val buys = n.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("b_ts", watermark)
+    clicks.join(buys,
+        col("c_user") === col("b_user") &&
+        col("b_ts") >= col("c_ts") &&
+        col("b_ts") <= col("c_ts") + expr("interval 1 hour"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"))
+  }
+
   /** Stateful per-user running counters via mapGroupsWithState — the
     * custom-state extension point (session tracking, rate limiting, …).
     */

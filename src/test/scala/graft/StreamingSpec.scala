@@ -112,4 +112,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(diff == 0)
     assert(got.count() == batch.count())
   }
+
+  test("streaming funnel interval join == batch interval join") {
+    val stream = EventStream.readEvents(spark, dir)
+    val q = EventStream.funnelJoin(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("funnel_out")
+      .orderBy("click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val a = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("ta"), col("event_id").as("click_id"))
+    val b = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("ub"), col("ts").as("tb"),
+        col("event_id").as("purchase_id"))
+    val batch = a.join(b, a("user_id") === b("ub") &&
+        b("tb") >= a("ta") && b("tb") <= a("ta") + expr("interval 1 hour"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+      .orderBy("click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    assert(got.nonEmpty && got.length == batch.length && got.sameElements(batch))
+  }
 }
