@@ -62,6 +62,17 @@ object Extended3 {
         .orderBy("l_returnflag")
     }),
 
+    // ---- custom physical plan: bounded-heap per-group top-k ----
+    // GroupTopK plans as partial -> one hash exchange -> final (see
+    // GroupTopKSpec): the shuffle carries at most groups x k rows per map
+    // partition instead of the whole table, unlike the row_number() window
+    // form the oracle uses.
+    "w7_group_topk" -> ((s, d) =>
+      graft.plans.GroupTopK.topK(t(s, d, "lineitem"), Seq("l_returnflag"),
+          Seq(("l_extendedprice", false), ("l_orderkey", true), ("l_linenumber", true)), 3)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_returnflag", "l_orderkey", "l_linenumber")),
+
     // ---- GraphX connected components over per-customer order chains ----
     // Chains (not cliques) force multi-hop label propagation: the component
     // id must travel the full chain length, exercising the iterative Pregel
@@ -116,6 +127,15 @@ object Extended3 {
            CAST(2 * sum(l_quantity) AS BIGINT) AS sum_qty,
            CAST(2 * sum(l_linenumber) AS BIGINT) AS sum_ln
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "w7_group_topk" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
+         FROM (
+           SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+           FROM lineitem)
+         WHERE rn <= 3
+         ORDER BY l_returnflag, l_orderkey, l_linenumber""",
     "j10_connected_components" ->
       """WITH c AS (
            SELECT o_custkey, count(*) AS n, min(o_orderkey) AS mn

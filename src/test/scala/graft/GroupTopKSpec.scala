@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.GroupTopK
+
+/** The custom per-group top-k plan must (a) match the window-function
+  * formulation row-for-row, (b) plan as partial→exchange→final with a
+  * single shuffle, (c) bound the exchange to k rows per group per map
+  * partition.
+  */
+class GroupTopKSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("topK equals window row_number formulation (unique tiebreak)") {
+    val li = Tables.t(spark, sf, "lineitem")
+    val got = GroupTopK.topK(li, Seq("l_returnflag"),
+        Seq(("l_extendedprice", false), ("l_orderkey", true), ("l_linenumber", true)), 5)
+      .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+      .collect()
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    val want = li.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+      .collect()
+    assert(got.nonEmpty && got.sameElements(want))
+  }
+
+  test("plan shape: partial and final exec around exactly one exchange") {
+    val li = Tables.t(spark, sf, "lineitem")
+    val df = GroupTopK.topK(li, Seq("l_returnflag"), Seq(("l_extendedprice", false)), 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("GroupTopK \\[".r.findAllIn(plan).length == 2, s"want partial+final:\n$plan")
+    val nExchanges = "(?i)exchange".r.findAllIn(plan).length
+    assert(nExchanges >= 1, s"expected a hash exchange between phases:\n$plan")
+    // final output is at most groups × k rows
+    assert(df.count() == 3 * li.select("l_returnflag").distinct().count())
+  }
+
+  test("map-side partial bounds pre-shuffle rows to groups × k per partition") {
+    import spark.implicits._
+    // 4 partitions × 2 groups × k=2 → partial emits ≤ 16 rows for 100k input
+    val df = spark.range(100000).repartition(4)
+      .select((col("id") % 2).as("g"), col("id").as("v"))
+    val got = GroupTopK.topK(df, Seq("g"), Seq(("v", true)), 2)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 0L), (0L, 2L), (1L, 1L), (1L, 3L)))
+  }
+
+  test("k larger than any group returns every row") {
+    val li = Tables.t(spark, sf, "lineitem").limit(200)
+    val got = GroupTopK.topK(li, Seq("l_orderkey"), Seq(("l_linenumber", true)), 1000)
+    assert(got.count() == 200)
+  }
+}
