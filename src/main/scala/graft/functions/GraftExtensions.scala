@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("bit_and_count"),
       new ExpressionInfo(classOf[BitAndCount].getName, "bit_and_count"),
       (exprs: Seq[Expression]) => BitAndCount.coerced(exprs(0), exprs(1))))
+    // bounded-heap per-group top-k: the strategy plans GroupTopKNode, the
+    // rule rewrites row_number()<=k window filters into it
+    e.injectPlannerStrategy(_ => graft.plans.GroupTopK.Strategy)
+    e.injectOptimizerRule(_ => graft.plans.RankLimitRewrite)
   }
 }
 
@@ -51,5 +55,7 @@ object GraftExtensions {
     spark.udf.register("simhash", graft.llm.Dedup.simhashUdf)
     spark.udf.register("rolling_fingerprint", graft.llm.Text.rollingFingerprintUdf)
     spark.udf.register("lang_id", graft.llm.Text.langIdUdf)
+    ColumnBridge.addStrategy(spark, graft.plans.GroupTopK.Strategy)
+    ColumnBridge.addOptimization(spark, graft.plans.RankLimitRewrite)
   }
 }

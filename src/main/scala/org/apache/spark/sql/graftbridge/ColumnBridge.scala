@@ -35,6 +35,14 @@ object ColumnBridge {
       exp.extraStrategies = exp.extraStrategies :+ strategy
   }
 
+  /** Idempotently install an extra optimizer rule on a live session. */
+  def addOptimization(spark: org.apache.spark.sql.SparkSession,
+      rule: org.apache.spark.sql.catalyst.rules.Rule[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+    if (!exp.extraOptimizations.contains(rule))
+      exp.extraOptimizations = exp.extraOptimizations :+ rule
+  }
+
   /** Register a native Catalyst expression as a SQL function on a live
     * session (the runtime twin of SparkSessionExtensions.injectFunction,
     * which only applies at session build).

@@ -24,10 +24,14 @@ class GroupTopKSpec extends AnyFunSuite {
       .collect()
     val w = Window.partitionBy("l_returnflag")
       .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    // keep rn in the projection so RankLimitRewrite (installed on the
+    // shared session by other suites) cannot rewrite the baseline into the
+    // very operator under test; drop it after collect
     val want = li.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
-      .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+      .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice", "rn")
       .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
       .collect()
+      .map(r => org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2), r.get(3)))
     assert(got.nonEmpty && got.sameElements(want))
   }
 
