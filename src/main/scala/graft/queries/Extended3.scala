@@ -62,6 +62,35 @@ object Extended3 {
         .orderBy("l_returnflag")
     }),
 
+    // ---- SQL surface: correlated scalar / EXISTS / IN subqueries ----
+    // Catalyst decorrelates these into aggregated + semi joins; the point
+    // is that the SQL front door accepts the full subquery family.
+    "q2_subquery_battery" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("v_orders")
+      t(s, d, "lineitem").createOrReplaceTempView("v_lineitem")
+      t(s, d, "customer").createOrReplaceTempView("v_customer")
+      s.sql("""
+        SELECT o.o_orderkey,
+          (SELECT CAST(sum(l.l_quantity) AS BIGINT) FROM v_lineitem l
+            WHERE l.l_orderkey = o.o_orderkey) AS qty,
+          EXISTS (SELECT 1 FROM v_lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45) AS has_big_line,
+          o.o_custkey IN (SELECT c_custkey FROM v_customer WHERE c_acctbal > 5000) AS rich_cust
+        FROM v_orders o ORDER BY o.o_orderkey""")
+    }),
+
+    // ---- SQL surface: LATERAL correlated derived table ----
+    "q3_lateral_join" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("v_orders")
+      t(s, d, "lineitem").createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT o.o_orderkey, l.maxq, l.nl
+        FROM v_orders o,
+          LATERAL (SELECT max(l_quantity) AS maxq, count(*) AS nl
+                   FROM v_lineitem WHERE l_orderkey = o.o_orderkey) l
+        ORDER BY o.o_orderkey""")
+    }),
+
     // ---- custom physical plan: bounded-heap per-group top-k ----
     // GroupTopK plans as partial -> one hash exchange -> final (see
     // GroupTopKSpec): the shuffle carries at most groups x k rows per map
@@ -127,6 +156,20 @@ object Extended3 {
            CAST(2 * sum(l_quantity) AS BIGINT) AS sum_qty,
            CAST(2 * sum(l_linenumber) AS BIGINT) AS sum_ln
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q2_subquery_battery" ->
+      """SELECT o.o_orderkey,
+           (SELECT CAST(sum(l.l_quantity) AS BIGINT) FROM lineitem l
+             WHERE l.l_orderkey = o.o_orderkey) AS qty,
+           EXISTS (SELECT 1 FROM lineitem l
+             WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45) AS has_big_line,
+           o.o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000) AS rich_cust
+         FROM orders o ORDER BY o.o_orderkey""",
+    "q3_lateral_join" ->
+      """SELECT o.o_orderkey, l.maxq, l.nl
+         FROM orders o,
+           LATERAL (SELECT max(l_quantity) AS maxq, count(*) AS nl
+                    FROM lineitem WHERE l_orderkey = o.o_orderkey) l
+         ORDER BY o.o_orderkey""",
     "w7_group_topk" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
          FROM (
