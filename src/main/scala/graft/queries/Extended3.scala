@@ -62,6 +62,22 @@ object Extended3 {
         .orderBy("l_returnflag")
     }),
 
+    // ---- partitioned sink + partition-pruned read ----
+    // The 100 TB sink pattern: write date-partitioned, read one partition.
+    // The re-read scan must show PartitionFilters (proved in
+    // Extended3Spec via inputFiles), not a full-table scan + filter.
+    "s8_partition_prune" -> ((s, d) => {
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_s8_" + d.replaceAll("[^a-zA-Z0-9]", "_")).getAbsolutePath
+      val ev = t(s, d, "events").withColumn("day", to_date(col("ts")))
+      ev.write.mode("overwrite").partitionBy("day").parquet(dir)
+      val firstDay = ev.agg(min("day")).head.getDate(0)
+      s.read.parquet(dir).filter(col("day") === lit(firstDay))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .orderBy("event_type")
+    }),
+
     // ---- SQL surface: correlated scalar / EXISTS / IN subqueries ----
     // Catalyst decorrelates these into aggregated + semi joins; the point
     // is that the SQL front door accepts the full subquery family.
@@ -156,6 +172,11 @@ object Extended3 {
            CAST(2 * sum(l_quantity) AS BIGINT) AS sum_qty,
            CAST(2 * sum(l_linenumber) AS BIGINT) AS sum_ln
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "s8_partition_prune" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+         FROM events
+         WHERE CAST(ts AS DATE) = (SELECT min(CAST(ts AS DATE)) FROM events)
+         GROUP BY event_type ORDER BY event_type""",
     "q2_subquery_battery" ->
       """SELECT o.o_orderkey,
            (SELECT CAST(sum(l.l_quantity) AS BIGINT) FROM lineitem l

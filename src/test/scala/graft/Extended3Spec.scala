@@ -81,6 +81,33 @@ class Extended3Spec extends AnyFunSuite {
     }
   }
 
+  test("s8 partition-pruned read touches only the selected day's files") {
+    // run the query once so the partitioned sink exists
+    q("s8_partition_prune").collect()
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_s8_" + sf.replaceAll("[^a-zA-Z0-9]", "_")).getAbsolutePath
+    val all = spark.read.parquet(dir)
+    val days = all.select("day").distinct().count()
+    val firstDay = all.agg(min("day")).head.getDate(0)
+    val pruned = all.filter(col("day") === firstDay)
+    assert(days > 1)
+    // partition pruning: the executed scan reads a strict subset of files
+    // (inputFiles is pre-pruning, so read the scan's numFiles metric)
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      val scans = df.queryExecution.executedPlan.collectLeaves().collect {
+        case f: FileSourceScanExec => f.metrics("numFiles").value
+      }
+      scans.sum
+    }
+    val prunedFiles = filesRead(pruned)
+    val allFiles = filesRead(all)
+    assert(prunedFiles > 0 && prunedFiles < allFiles, s"$prunedFiles vs $allFiles")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(day"), plan)
+  }
+
   test("j10 component ids are the min orderkey of each customer chain") {
     val orders = Tables.t(spark, sf, "orders")
     val expect = orders
