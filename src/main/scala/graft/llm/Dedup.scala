@@ -225,15 +225,20 @@ object Dedup {
     * the vocabulary size (docs with empty shingle sets are dropped — they
     * intersect nothing).
     */
+  /** Returns (docBits, vocabSize, release). `release` unpersists the
+    * vocabulary cache the lazy `docBits` plan still references — call it
+    * only after `docBits` has been fully consumed.
+    */
   private def docBitsets(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int): (DataFrame, Long) = {
+      shingleN: Int): (DataFrame, Long, () => Unit) = {
     val sh = graft.operators.Par.fanOut(df)
       .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
     val vocab = sh.select(explode(col("sh")).as("s")).distinct()
       .select(col("s"), (row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy("s")) - 1).as("sid"))
       .cache()
-    val width = math.max(((vocab.count() + 63) / 64).toInt, 1)
+    val vocabSize = vocab.count()
+    val width = math.max(((vocabSize + 63) / 64).toInt, 1)
 
     val toBits = udf((ids: Seq[Int], w: Int) => {
       val arr = new Array[Long](w)
@@ -245,12 +250,15 @@ object Dedup {
       .groupBy("id").agg(collect_list(col("sid")).as("sids"))
       .select(col("id"), toBits(col("sids"), lit(width)).as("bits"),
         size(col("sids")).as("n"))
-    (docBits, vocab.count())
+    (docBits, vocabSize, () => { vocab.unpersist(); () })
   }
 
   def ngramJaccardPairsBitset(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 2): DataFrame = {
-    val (docBits, _) = docBitsets(df, idCol, textCol, shingleN)
+    // the lazy result keeps the vocab cache alive; pairs callers evaluate
+    // once and the cache is re-derivable, so release is left to Spark's
+    // LRU here (the eager topK path below releases explicitly)
+    val (docBits, _, _) = docBitsets(df, idCol, textCol, shingleN)
     val a = docBits.select(col("id").as("a"), col("bits").as("ba"), col("n").as("na"))
     val b = docBits.select(col("id").as("b"), col("bits").as("bb"), col("n").as("nb"))
     a.crossJoin(b).filter(col("a") < col("b"))
@@ -284,28 +292,40 @@ object Dedup {
     require(k > 0, s"k must be positive, got $k")
     val ordered = (pairs: DataFrame) => pairs
       .orderBy(round(col("jaccard"), 4).desc, col("a"), col("b")).limit(k)
-    val (docBits, vocabSize) = docBitsets(df, idCol, textCol, shingleN)
-    if (vocabSize == 0 || vocabSize > 65536)
+    val (docBits, vocabSize, releaseVocab) = docBitsets(df, idCol, textCol, shingleN)
+    if (vocabSize == 0 || vocabSize > 65536) {
+      releaseVocab()
       return ordered(ngramJaccardPairsInverted(df, idCol, textCol, shingleN))
+    }
 
     val spark = df.sparkSession
     import spark.implicits._
+    val idType = docBits.schema("id").dataType
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a", idType),
+      org.apache.spark.sql.types.StructField("b", idType),
+      org.apache.spark.sql.types.StructField("jaccard",
+        org.apache.spark.sql.types.DoubleType)))
     // dense doc index, ordered by id so index order == id order (the heap's
-    // tie-break on (ia, ib) then matches the caller-visible (a, b) order)
-    val indexed = docBits
+    // tie-break on (ia, ib) then matches the caller-visible (a, b) order);
+    // everything below is collected in this one pass, so no cache survives
+    // the call (repeated invocations must not accumulate executor memory)
+    val rows = docBits
       .withColumn("idx", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy("id")) - 1)
-      .cache()
-    val rows = indexed.select("idx", "bits", "n").collect()
+      .select("idx", "bits", "n", "id").collect()
+    releaseVocab()
     val n = rows.length
-    if (n < 2) return indexed.filter(lit(false))
-      .select(col("id").as("a"), col("id").as("b"), lit(0.0).as("jaccard"))
+    if (n < 2) return spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
     val bitsArr = new Array[Array[Long]](n)
     val nsArr = new Array[Int](n)
+    val idArr = new Array[Any](n)
     rows.foreach { r =>
       val i = r.getInt(0)
       bitsArr(i) = r.getSeq[Long](1).toArray
       nsArr(i) = r.getInt(2)
+      idArr(i) = r.get(3)
     }
     val bcBits = spark.sparkContext.broadcast(bitsArr)
     val bcNs = spark.sparkContext.broadcast(nsArr)
@@ -358,13 +378,16 @@ object Dedup {
         i += stripes.toInt
       }
       pq.iterator.map(t => (t._2.toLong, t._3.toLong, t._4)).toSeq
-    }.toDF("ia", "ib", "jaccard")
-
-    val idx = indexed.select(col("idx").cast("long"), col("id"))
-    ordered(local
-      .join(broadcast(idx.toDF("ia", "a")), "ia")
-      .join(broadcast(idx.toDF("ib", "b")), "ib")
-      .select("a", "b", "jaccard"))
+    }.collect()
+    // kernel done (stripes × k survivors on the driver): release the
+    // broadcasts before handing back the small result
+    bcBits.destroy()
+    bcNs.destroy()
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](local.length)
+    local.foreach { case (ia, ib, jac) =>
+      out.add(org.apache.spark.sql.Row(idArr(ia.toInt), idArr(ib.toInt), jac))
+    }
+    ordered(spark.createDataFrame(out, outSchema))
   }
 
   /** Duplicate-cluster resolution: near-dup pairs form a graph whose

@@ -50,11 +50,23 @@ object AsOfJoin {
     // right rows sort before left rows at equal ts (side 0 < 1), so a left
     // row at ts T sees right rows with ts <= T — backward as-of semantics.
     // Among right rows tied on (key, ts), the carried row is the one whose
-    // carry-struct hash is greatest — an arbitrary but deterministic choice,
+    // carry hash is greatest — an arbitrary but deterministic choice,
     // stable across runs/retries (a bare (ts, side) order would let the
-    // shuffle's arrival order pick the winner).
+    // shuffle's arrival order pick the winner). Spark refuses to hash
+    // MapType, so the tie-break hashes only the map-free carry columns;
+    // if every carried column contains a map the tie stays arbitrary.
+    def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => containsMap(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => containsMap(a.elementType)
+      case _ => false
+    }
+    val hashable = carry.filterNot(c => containsMap(right.schema(c).dataType))
+    val tieBreak =
+      if (hashable.isEmpty) Nil
+      else Seq(xxhash64(hashable.map(c => col(s"_r.$c")): _*).asc)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(tsCol).asc, col("_side").asc, xxhash64(col("_r")).asc)
+      .orderBy(col(tsCol).asc +: col("_side").asc +: tieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val filled = merged.withColumn("_r", last(col("_r"), ignoreNulls = true).over(w))
     filled.filter(col("_side") === 1)

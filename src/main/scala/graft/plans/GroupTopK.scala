@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -49,6 +49,9 @@ object GroupTopK {
 
     override def requiredChildDistribution: Seq[Distribution] =
       if (partial) UnspecifiedDistribution :: Nil
+      // empty group = global top-k: ClusteredDistribution rejects Nil, and
+      // the final pass must see every partial's survivors in one place
+      else if (groupExprs.isEmpty) AllTuples :: Nil
       else ClusteredDistribution(groupExprs) :: Nil
 
     override protected def doExecute(): RDD[InternalRow] = {

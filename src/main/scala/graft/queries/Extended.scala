@@ -238,10 +238,13 @@ object Extended {
            FROM events)
          WHERE rn = 1 ORDER BY user_id, event_type""",
     "v1_centroids" ->
-      """SELECT vec_id % 10 AS bucket, CAST(i - 1 AS INT) AS pos,
-         round(avg(embedding[i]), 6) AS c
-         FROM embeddings, range(1, 65) t(i)
-         GROUP BY 1, 2 ORDER BY bucket, pos""",
+      """WITH u AS (
+           SELECT vec_id % 10 AS bucket,
+             unnest(list_zip(range(1, len(embedding) + 1),
+                             CAST(embedding AS DOUBLE[]))) AS z
+           FROM embeddings)
+         SELECT bucket, CAST(z[1] - 1 AS INT) AS pos, round(avg(z[2]), 6) AS c
+         FROM u GROUP BY 1, 2 ORDER BY bucket, pos""",
     "f5_string_battery" ->
       """SELECT p_partkey, length(p_name) AS len, lower(p_type) AS lo,
          lpad(p_brand, 12, '*') AS lp, reverse(p_brand) AS rev,

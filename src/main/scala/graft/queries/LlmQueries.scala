@@ -358,7 +358,7 @@ object LlmQueries {
          SELECT v.vec_id, round(list_cosine_similarity(ev, qv), 4) AS sim
          FROM v JOIN sigs USING (vec_id) CROSS JOIN q CROSS JOIN qs
          WHERE bit_count(xor(sig, qsig)) <= 6
-         ORDER BY sim DESC, vec_id LIMIT 10"""
+         ORDER BY ${cosExact("ev", "qv")} DESC, vec_id LIMIT 10"""
     },
     // IVF ANN replicated: centroids = first 16 vectors by id, assignment =
     // argmax cosine (exact-fold d/sqrt(na*nb), first-max tie-break), probe
@@ -386,21 +386,27 @@ object LlmQueries {
          SELECT v.vec_id, round(list_cosine_similarity(ev, qv), 4) AS sim
          FROM v JOIN asn USING (vec_id) CROSS JOIN q
          WHERE asn.cid IN (SELECT cid FROM pr)
-         ORDER BY sim DESC, vec_id LIMIT 10"""
+         ORDER BY ${cosExact("ev", "qv")} DESC, vec_id LIMIT 10"""
     },
+    // ORDER BY the bit-exact raw cosine (not the rounded output) so the
+    // top-k selection boundary matches the engine's raw ranking
     "dedup_embedding_cosine" ->
-      """SELECT a.vec_id AS a, b.vec_id AS b,
-           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                        CAST(b.embedding AS DOUBLE[])), 4) AS sim
-         FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
-         ORDER BY sim DESC, a, b LIMIT 20""",
+      s"""WITH p AS (
+           SELECT a.vec_id AS a, b.vec_id AS b,
+             CAST(a.embedding AS DOUBLE[]) AS ea,
+             CAST(b.embedding AS DOUBLE[]) AS eb
+           FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+         SELECT a, b, round(list_cosine_similarity(ea, eb), 4) AS sim
+         FROM p ORDER BY ${cosExact("ea", "eb")} DESC, a, b LIMIT 20""",
     "ann_brute_topk" ->
-      """SELECT b.vec_id,
-           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                        CAST(b.embedding AS DOUBLE[])), 4) AS sim
-         FROM embeddings a, embeddings b
-         WHERE a.vec_id = 0 AND b.vec_id <> 0
-         ORDER BY sim DESC, b.vec_id LIMIT 10""",
+      s"""WITH p AS (
+           SELECT b.vec_id,
+             CAST(a.embedding AS DOUBLE[]) AS qv,
+             CAST(b.embedding AS DOUBLE[]) AS ev
+           FROM embeddings a, embeddings b
+           WHERE a.vec_id = 0 AND b.vec_id <> 0)
+         SELECT vec_id, round(list_cosine_similarity(ev, qv), 4) AS sim
+         FROM p ORDER BY ${cosExact("ev", "qv")} DESC, vec_id LIMIT 10""",
     "mm1_media_meta" ->
       """SELECT doc_id AS media_id, octet_length(CAST(text AS BLOB)) AS byte_len,
          sha256(text) AS sha, 'text/plain' AS format

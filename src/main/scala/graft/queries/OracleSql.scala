@@ -88,6 +88,16 @@ object OracleSql {
   def dotFold(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]), (x,y) -> x+y)"
 
+  /** Bit-exact replica of Similarity.cosine: dot/(sqrt(aa)·sqrt(bb)) —
+    * note sqrt(aa)*sqrt(bb), NOT sqrt(aa*bb), to match the engine's
+    * rounding step-for-step. Use for ORDER BY so top-k tie behavior at the
+    * selection boundary matches the engine's raw-similarity ranking
+    * (ordering by the 4-dp-rounded output can pick a different survivor
+    * when two candidates straddle the boundary within 1e-4).
+    */
+  def cosExact(a: String, b: String): String =
+    s"(${dotFold(a, b)} / (sqrt(${dotFold(a, a)}) * sqrt(${dotFold(b, b)})))"
+
   /** SQL literal list of BIGINTs. */
   def longList(xs: Seq[Long]): String = xs.mkString("[", ",", "]")
 

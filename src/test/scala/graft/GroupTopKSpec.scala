@@ -56,6 +56,14 @@ class GroupTopKSpec extends AnyFunSuite {
     assert(got == Set((0L, 0L), (0L, 2L), (1L, 1L), (1L, 3L)))
   }
 
+  test("empty group list = global top-k (AllTuples final phase)") {
+    import spark.implicits._
+    val df = spark.range(10000).select(col("id").as("v"))
+    val got = GroupTopK.topK(df, Seq.empty, Seq(("v", false)), 5)
+      .as[Long].collect().sorted
+    assert(got.toSeq == Seq(9995L, 9996L, 9997L, 9998L, 9999L))
+  }
+
   test("k larger than any group returns every row") {
     val li = Tables.t(spark, sf, "lineitem").limit(200)
     val got = GroupTopK.topK(li, Seq("l_orderkey"), Seq(("l_linenumber", true)), 1000)

@@ -72,6 +72,15 @@ class OperatorSpec extends AnyFunSuite {
     assert(picks.distinct.size == 1)
   }
 
+  test("as-of join accepts MapType carry columns (tie-break skips unhashable types)") {
+    val left = Seq((1L, 10L)).toDF("k", "ts")
+    val right = Seq((1L, 5L, Map("a" -> "b"), "p5"), (1L, 7L, Map("c" -> "d"), "p7"))
+      .toDF("k", "ts", "attrs", "payload")
+    val out = AsOfJoin.backward(left, right, Seq("k"), "ts").collect().head
+    assert(out.getAs[Map[String, String]]("attrs") == Map("c" -> "d"))
+    assert(out.getAs[String]("payload") == "p7")
+  }
+
   test("as-of join refuses colliding carry column names") {
     val left = Seq((1L, 3L, 9.9)).toDF("k", "ts", "price")
     val right = Seq((1L, 1L, 5.0)).toDF("k", "ts", "price")

@@ -44,6 +44,21 @@ class RankLimitRewriteSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sameElements(want))
   }
 
+  test("global top-k (no PARTITION BY) rewrites and still runs") {
+    import spark.implicits._
+    val li = Tables.t(spark, sf, "lineitem")
+    val w = Window.orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    val df = li.withColumn("rn", row_number().over(w)).filter(col("rn") <= 7)
+      .select("l_orderkey", "l_linenumber")
+    val plan = df.queryExecution.executedPlan.toString
+    assert("GroupTopK \\[".r.findAllIn(plan).length == 2, s"no rewrite:\n$plan")
+    // equals the plain global orderBy-limit
+    val want = li.orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(7).select("l_orderkey", "l_linenumber")
+      .as[(Long, Int)].collect().toSet
+    assert(df.as[(Long, Int)].collect().toSet == want)
+  }
+
   test("no rewrite when the rank column is observed") {
     val df = windowTopK(3)
     val li = Tables.t(spark, sf, "lineitem")
