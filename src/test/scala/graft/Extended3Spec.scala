@@ -108,6 +108,20 @@ class Extended3Spec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [isnotnull(day"), plan)
   }
 
+  test("observe() attaches pipeline metrics without a second scan") {
+    val obs = new org.apache.spark.sql.Observation("li_stats")
+    val li = Tables.t(spark, sf, "lineitem")
+      .observe(obs, count(lit(1)).as("rows"),
+        sum("l_quantity").cast("long").as("qty"),
+        max("l_extendedprice").as("maxp"))
+    // one action drives both the query and the metrics
+    val kept = li.filter(col("l_quantity") >= 25).count()
+    val m = obs.get
+    val total = Tables.t(spark, sf, "lineitem").count()
+    assert(m("rows") == total && kept < total)
+    assert(m("qty").asInstanceOf[Long] > 0)
+  }
+
   test("j10 component ids are the min orderkey of each customer chain") {
     val orders = Tables.t(spark, sf, "orders")
     val expect = orders
