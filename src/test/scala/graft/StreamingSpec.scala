@@ -138,4 +138,24 @@ class StreamingSpec extends AnyFunSuite {
 
     assert(got.nonEmpty && got.length == batch.length && got.sameElements(batch))
   }
+
+  test("streaming native session_window == batch e13 query") {
+    val stream = EventStream.readEvents(spark, dir)
+    val agg = EventStream.normalize(stream)
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("n_events"), col("total"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("sess_win_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("sess_win_out").orderBy("user_id", "session_start")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    val batch = SparkEntry.queries("e13_session_window")(spark, "/root/testdata/sf0.001")
+      .select("user_id", "session_start", "n_events", "total")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty && got.length == batch.length && got.sameElements(batch))
+  }
 }
