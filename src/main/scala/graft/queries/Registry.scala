@@ -15,7 +15,8 @@ object Registry {
     (Extended.queries, Extended.oracleSql),
     (Extended2.queries, Extended2.oracleSql),
     (Extended3.queries, Extended3.oracleSql),
-    (Extended4.queries, Extended4.oracleSql)
+    (Extended4.queries, Extended4.oracleSql),
+    (Extended5.queries, Extended5.oracleSql)
   )
 
   def queries: Map[String, Q] = providers.map(_._1).reduce(_ ++ _)
