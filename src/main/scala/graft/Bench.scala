@@ -33,7 +33,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // also persist verbatim: sbt wraps stdout in [info]/[success] noise, so
+    // leave a clean machine-readable copy next to the sources
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_SELF.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -46,6 +46,17 @@ object Main {
       val g = GraphPackage.load(spark, pkg)
       println(s"edges=${g.size()} nodes=${g.order()}")
 
+    case "compact" :: pkg :: rest if rest.length <= 1 =>
+      val targetMb = rest.headOption.map(_.toLong).getOrElse(128L)
+      def nFiles: Long = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(pkg)).iterator().asScala
+          .count(p => p.getFileName.toString.endsWith(".parquet"))
+      }
+      val before = nFiles
+      GraphPackage.compact(spark, pkg, targetMb << 20)
+      println(s"compacted $pkg: data files $before -> $nFiles")
+
     case "dwithin" :: pkg :: lon :: lat :: dist :: Nil =>
       val g = GraphPackage.load(spark, pkg)
       val res = g.dwithin(lon.toDouble, lat.toDouble, dist.toDouble, sort = true)
@@ -90,6 +101,7 @@ object Main {
         """usage:
           |  build <out.graft> <infile.geojson...> [--precision P] [--changes-sign c1,c2]
           |  stats <pkg>
+          |  compact <pkg> [targetMB]
           |  dwithin <pkg> <lon> <lat> <meters>
           |  route <pkg> <u> <v> [weightCol]
           |  landmarks <pkg> <weightCol> <node...>

@@ -54,10 +54,15 @@ object GraphPackage {
          |}""".stripMargin
     Files.writeString(Paths.get(tmp, "metadata.json"), metadata)
 
-    // atomic finalize (ref build.py:34-47). Overwrites move the previous
-    // package aside first, so a crash anywhere in the sequence leaves either
-    // the old package (possibly under .old) or the new one on disk — never
-    // neither (deleting dst before the move would lose it on a crash).
+    atomicSwap(tmp, path)
+  }
+
+  /** Atomic finalize (ref build.py:34-47). Overwrites move the previous
+    * package aside first, so a crash anywhere in the sequence leaves either
+    * the old package (possibly under .old) or the new one on disk — never
+    * neither (deleting dst before the move would lose it on a crash).
+    */
+  private def atomicSwap(tmp: String, path: String): Unit = {
     val dst = Paths.get(path)
     val bak = Paths.get(path + ".old")
     deleteRecursive(bak)
@@ -65,6 +70,58 @@ object GraphPackage {
     if (hadOld) Files.move(dst, bak, StandardCopyOption.ATOMIC_MOVE)
     Files.move(Paths.get(tmp), dst, StandardCopyOption.ATOMIC_MOVE)
     if (hadOld) deleteRecursive(bak)
+  }
+
+  /** Compact a package in place: rewrite both tables so each grid cell's
+    * edges land in a single file and nodes fill `targetBytes`-sized files,
+    * preserving the layout contract (cell partitioning, `(_u,_v)` /
+    * `_n` sort order) and the metadata.
+    *
+    * This is the maintenance operator immutable storage needs at 100 TB:
+    * every incremental `addEdges`+`save` cycle (and any streaming sink)
+    * accretes small files until scan task-launch overhead dominates; the
+    * reference's counterpart is dropping and rebuilding its R-tree around
+    * bulk loads (`cli.py:44-49`). Same crash-safe tmp+swap as [[save]].
+    */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L << 20): Unit = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val tmp = path + ".tmp"
+    deleteRecursive(Paths.get(tmp))
+
+    val edges = spark.read.parquet(s"$path/edges")
+    // one shuffle partition per cell bucket: every cell's rows collapse to
+    // exactly one file regardless of how many writes produced them
+    val nCellTasks = math.max(1,
+      math.min(dirBytes(s"$path/edges") / targetBytes + 1,
+        spark.sparkContext.defaultParallelism).toInt)
+    edges.repartition(nCellTasks, col(Spatial.CellCol))
+      .sortWithinPartitions(Spatial.CellCol, "_u", "_v")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(Spatial.CellCol)
+      .parquet(s"$tmp/edges")
+
+    val nodes = spark.read.parquet(s"$path/nodes")
+    val nNodeFiles = math.max(1, (dirBytes(s"$path/nodes") / targetBytes + 1).toInt)
+    nodes.repartitionByRange(nNodeFiles, col("_n"))
+      .sortWithinPartitions("_n")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/nodes")
+
+    val meta = Paths.get(path, "metadata.json")
+    if (Files.exists(meta))
+      Files.copy(meta, Paths.get(tmp, "metadata.json"))
+
+    atomicSwap(tmp, path)
+  }
+
+  private def dirBytes(dir: String): Long = {
+    val p = Paths.get(dir)
+    if (!Files.exists(p)) 0L
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala
+        .filter(Files.isRegularFile(_)).map(Files.size).sum
+    }
   }
 
   def load(spark: SparkSession, path: String): PropertyGraph = {
