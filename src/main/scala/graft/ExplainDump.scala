@@ -13,7 +13,10 @@ object ExplainDump {
   val Headline = Seq(
     "q1_agg", "j1_join_fk", "p1_get_edge", "g1_bbox", "g4_proximity_join",
     "dedup_embedding_cosine", "w1_row_number", "e1_hourly_agg",
-    "e11_scd2", "e10_funnel", "a11_topk_udaf", "v2_vector_quantize")
+    "e11_scd2", "e10_funnel", "a11_topk_udaf", "v2_vector_quantize",
+    "q4_shipping_priority", "q5_region_volume", "q6_revenue_delta",
+    "j11_knn_join", "j12_recursive_chain", "g8_zorder_cell",
+    "e13_session_window")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

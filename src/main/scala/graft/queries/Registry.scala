@@ -16,7 +16,8 @@ object Registry {
     (Extended2.queries, Extended2.oracleSql),
     (Extended3.queries, Extended3.oracleSql),
     (Extended4.queries, Extended4.oracleSql),
-    (Extended5.queries, Extended5.oracleSql)
+    (Extended5.queries, Extended5.oracleSql),
+    (Extended6.queries, Extended6.oracleSql)
   )
 
   def queries: Map[String, Q] = providers.map(_._1).reduce(_ ++ _)

