@@ -48,9 +48,15 @@ object Spatial {
     val withBox = edges.withColumn(BBoxCol, GeoFunctions.envelope(cs))
     val cellsUdf = udf((minX: Double, minY: Double, maxX: Double, maxY: Double) =>
       coveredCells(minX, minY, maxX, maxY, cellDeg))
+    // geometry-less edges (the reference's plain add_edges((u,v,attrs))
+    // surface) have a null envelope, which null-skips the UDF — without the
+    // coalesce the explode would silently DROP those rows at save time;
+    // they belong in the always-scanned catch-all cell instead
     withBox.withColumn(CellCol,
-      explode(cellsUdf(col(s"$BBoxCol.min_x"), col(s"$BBoxCol.min_y"),
-        col(s"$BBoxCol.max_x"), col(s"$BBoxCol.max_y"))))
+      explode(coalesce(
+        cellsUdf(col(s"$BBoxCol.min_x"), col(s"$BBoxCol.min_y"),
+          col(s"$BBoxCol.max_x"), col(s"$BBoxCol.max_y")),
+        array(lit(CatchAllCell)))))
   }
 
   private[graft] def coveredCells(minX: Double, minY: Double,

@@ -83,6 +83,23 @@ class PropertyGraphSpec extends AnyFunSuite {
     assert(Files.exists(java.nio.file.Paths.get(dir, "metadata.json")))
   }
 
+  test("geometry-less edges survive save/load in the catch-all cell") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-nogeom").resolve("n.graft").toString
+    // the reference's plain add_edges((u,v,attrs)) surface: no geometry
+    val bare = spark.range(3).select(
+      concat(lit("a"), col("id")).as("_u"),
+      concat(lit("b"), col("id")).as("_v"),
+      (col("id") * 10).as("weight"))
+    val g2 = g.addEdges(bare)
+    GraphPackage.save(g2, dir)
+    val back = GraphPackage.load(spark, dir)
+    assert(back.size() == 8 + 3, "no-geom edges must not vanish at save")
+    assert(back.getEdge("a1", "b1").count() == 1)
+    // and they never pollute spatial results
+    assert(back.dwithin(-122.3132940, 47.6598762, 0.1).count() == 2)
+  }
+
   test("saving twice to the same path is idempotent (test_rtree.py parity)") {
     val dir = Files.createTempDirectory("graft-twice").resolve("t.graft").toString
     GraphPackage.save(g, dir)
