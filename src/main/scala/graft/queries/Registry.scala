@@ -18,7 +18,8 @@ object Registry {
     (Extended4.queries, Extended4.oracleSql),
     (Extended5.queries, Extended5.oracleSql),
     (Extended6.queries, Extended6.oracleSql),
-    (Extended7.queries, Extended7.oracleSql)
+    (Extended7.queries, Extended7.oracleSql),
+    (Extended8.queries, Extended8.oracleSql)
   )
 
   def queries: Map[String, Q] = providers.map(_._1).reduce(_ ++ _)
