@@ -39,7 +39,7 @@ object Bench {
     // leave a clean machine-readable copy next to the sources
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_SELF.json"), line + "\n")
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
   }
 }

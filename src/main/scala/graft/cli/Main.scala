@@ -48,14 +48,9 @@ object Main {
 
     case "compact" :: pkg :: rest if rest.length <= 1 =>
       val targetMb = rest.headOption.map(_.toLong).getOrElse(128L)
-      def nFiles: Long = {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(java.nio.file.Paths.get(pkg)).iterator().asScala
-          .count(p => p.getFileName.toString.endsWith(".parquet"))
-      }
-      val before = nFiles
+      val before = GraphPackage.countDataFiles(pkg)
       GraphPackage.compact(spark, pkg, targetMb << 20)
-      println(s"compacted $pkg: data files $before -> $nFiles")
+      println(s"compacted $pkg: data files $before -> ${GraphPackage.countDataFiles(pkg)}")
 
     case "dwithin" :: pkg :: lon :: lat :: dist :: Nil =>
       val g = GraphPackage.load(spark, pkg)

@@ -127,6 +127,74 @@ object Similarity {
       .limit(k)
   }
 
+  /** Product-quantization ANN: encode each vector as `m` one-byte codes
+    * (argmin L2 to a per-subspace codebook), score candidates with the
+    * asymmetric-distance lookup table of the query, keep the best `refine`
+    * by approximate distance, then exact-cosine re-rank to top-`k`.
+    *
+    * At 100 TB the encode pass runs once at ingest and the scan reads
+    * m bytes per vector instead of the full embedding — the candidate
+    * stage is a codegen-friendly projection over a 64x smaller column.
+    * Codebooks here are the deterministic first-`ksub` vectors' subvectors
+    * (same convention as [[ivfTopK]]'s first-k centroids) so results are
+    * reproducible and the DuckDB oracle can restate them; k-means training
+    * drops in without changing the query path.
+    *
+    * Determinism contract with the oracle: centroid argmin takes the
+    * LOWEST centroid id on exact ties, and both the per-subspace distance
+    * fold and the m-term table sum run in ascending index order, so every
+    * double matches bit-for-bit.
+    */
+  def pqTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      queryVec: Seq[Double], k: Int, m: Int = 8, ksub: Int = 16,
+      refine: Int = 50): DataFrame = {
+    val dim = queryVec.length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val subDim = dim / m
+    // codebook(j)(c) = subvector j of the c-th training vector
+    val training: Array[Array[Double]] = embeddings.orderBy(col(idCol))
+      .limit(ksub).select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val codebook: Array[Array[Array[Double]]] =
+      Array.tabulate(m, ksub)((j, c) => training(c).slice(j * subDim, (j + 1) * subDim))
+
+    def l2(a: Array[Double], aOff: Int, b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < b.length) { val t = a(aOff + i) - b(i); d += t * t; i += 1 }
+      d
+    }
+    val encode = udf((v: Seq[Double]) => {
+      val arr = v.toArray
+      Array.tabulate(m) { j =>
+        var best = 0; var bestD = l2(arr, j * subDim, codebook(j)(0)); var c = 1
+        while (c < ksub) {
+          val d = l2(arr, j * subDim, codebook(j)(c))
+          if (d < bestD) { best = c; bestD = d } // strict: ties keep lowest id
+          c += 1
+        }
+        best
+      }
+    })
+    // asymmetric-distance table: query subvector vs every centroid
+    val qArr = queryVec.toArray
+    val table: Array[Array[Double]] =
+      Array.tabulate(m, ksub)((j, c) => l2(qArr, j * subDim, codebook(j)(c)))
+    val adist = udf((codes: Seq[Int]) => {
+      var s = 0.0; var j = 0
+      while (j < m) { s += table(j)(codes(j)); j += 1 } // ascending j, fixed fold
+      s
+    })
+    val q = array(queryVec.map(lit): _*)
+    embeddings
+      .withColumn("_codes", encode(col(vecCol).cast("array<double>")))
+      .withColumn("_ad", adist(col("_codes")))
+      .orderBy(col("_ad").asc, col(idCol))
+      .limit(refine)
+      .select(col(idCol), cosine(col(vecCol), q).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Top-`k` most-similar pairs across the corpus (brute force, for the
     * oracle gate; LSH/banding covers the 100 TB path). Norms are computed
     * once per vector before the pair join, not once per pair.

@@ -25,10 +25,15 @@ object Extended7 {
       val toks = docs.select(explode(col("ws")).as("w"))
         .filter(length(col("w")) > 0)
         .groupBy("w").agg(count(lit(1)).as("cw"))
+      // if() guard: sequence(1, 0) is the DESCENDING [1, 0], not empty, so
+      // a <=1-token document would index ws out of bounds (an ANSI-mode
+      // crash) without it
       val bigrams = docs.select(explode(expr(
-          "filter(transform(sequence(1, size(ws) - 1), " +
-            "i -> struct(ws[i-1] AS w1, ws[i] AS w2)), " +
-            "p -> length(p.w1) > 0 AND length(p.w2) > 0)")).as("b"))
+          "if(size(ws) > 1, " +
+            "filter(transform(sequence(1, size(ws) - 1), " +
+              "i -> struct(ws[i-1] AS w1, ws[i] AS w2)), " +
+              "p -> length(p.w1) > 0 AND length(p.w2) > 0), " +
+            "array())")).as("b"))
         .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       val cxy = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
       val n = bigrams.count()

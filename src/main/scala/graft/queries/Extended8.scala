@@ -4,10 +4,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables.t
+import graft.llm.Similarity
 
-/** Round-2 surface extensions, batch 8: explicit null-ordering sorts and
-  * FILTER-clause / HAVING aggregates — the last uncovered corners of the
-  * relational surface. Both with DuckDB oracles.
+/** Round-2 surface extensions, batch 8: explicit null-ordering sorts,
+  * FILTER-clause / HAVING aggregates, and product-quantization ANN — each
+  * with a DuckDB oracle.
   */
 object Extended8 {
   type Q = (SparkSession, String) => DataFrame
@@ -38,6 +39,21 @@ object Extended8 {
         GROUP BY l_returnflag
         HAVING count(DISTINCT l_suppkey) > 1
         ORDER BY l_returnflag""")
+    }),
+
+    // ---- product-quantization ANN: encode -> table scan -> exact re-rank ----
+    // Completes the ANN family (brute / LSH / IVF / PQ). The oracle
+    // restates the deterministic first-16 codebooks, the lowest-id-on-tie
+    // argmin encode, and the ascending-order distance folds, so every
+    // double is bit-identical through the candidate boundary.
+    "ann_pq_topk" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head.getSeq[Double](0)
+      Similarity.pqTopK(e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+          qv, k = 10, m = 8, ksub = 16, refine = 50)
+        .select(col("vec_id"), round(col("sim"), 4).as("sim"))
     })
   )
 
@@ -57,6 +73,43 @@ object Extended8 {
          FROM lineitem
          GROUP BY l_returnflag
          HAVING count(DISTINCT l_suppkey) > 1
-         ORDER BY l_returnflag"""
+         ORDER BY l_returnflag""",
+    "ann_pq_topk" -> {
+      import OracleSql.cosExact
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id = 0),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+               FROM embeddings WHERE vec_id <> 0),
+         tr AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, ev AS cv
+                FROM (SELECT vec_id, ev FROM v ORDER BY vec_id LIMIT 16)),
+         subs AS (SELECT unnest(range(0, 8)) AS j),
+         vd AS (
+           SELECT vec_id, j, cid,
+             list_reduce(list_transform(range(1, 9),
+               i -> (ev[j*8+i] - cv[j*8+i]) * (ev[j*8+i] - cv[j*8+i])),
+               (a, b) -> a + b) AS d2
+           FROM v CROSS JOIN subs CROSS JOIN tr),
+         enc AS (
+           SELECT vec_id, j, cid FROM (
+             SELECT vec_id, j, cid,
+               row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) AS rn
+             FROM vd)
+           WHERE rn = 1),
+         qd AS (
+           SELECT j, cid,
+             list_reduce(list_transform(range(1, 9),
+               i -> (qv[j*8+i] - cv[j*8+i]) * (qv[j*8+i] - cv[j*8+i])),
+               (a, b) -> a + b) AS d2
+           FROM q CROSS JOIN subs CROSS JOIN tr),
+         ad AS (
+           SELECT e.vec_id, list_reduce(list(t.d2 ORDER BY e.j), (a, b) -> a + b) AS ad
+           FROM enc e JOIN qd t ON e.j = t.j AND e.cid = t.cid
+           GROUP BY e.vec_id),
+         cand AS (SELECT vec_id FROM ad ORDER BY ad, vec_id LIMIT 50)""" +
+        s"""
+         SELECT v.vec_id, round(${cosExact("ev", "qv")}, 4) AS sim
+         FROM v JOIN cand USING (vec_id) CROSS JOIN q
+         ORDER BY ${cosExact("ev", "qv")} DESC, v.vec_id LIMIT 10"""
+    }
   )
 }

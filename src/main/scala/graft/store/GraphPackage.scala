@@ -114,14 +114,26 @@ object GraphPackage {
     atomicSwap(tmp, path)
   }
 
+  /** Walk `p`'s file tree with the stream closed afterwards (Files.walk
+    * holds open directory handles until close — iterating and discarding
+    * the stream leaks one fd per directory level).
+    */
+  private[graft] def walkTree[A](p: Path)(f: Iterator[Path] => A): A = {
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(Files.walk(p))(s => f(s.iterator().asScala))
+  }
+
   private def dirBytes(dir: String): Long = {
     val p = Paths.get(dir)
     if (!Files.exists(p)) 0L
-    else {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala
-        .filter(Files.isRegularFile(_)).map(Files.size).sum
-    }
+    else walkTree(p)(_.filter(Files.isRegularFile(_)).map(Files.size).sum)
+  }
+
+  /** Count of parquet data files anywhere under `dir`. */
+  def countDataFiles(dir: String): Long = {
+    val p = Paths.get(dir)
+    if (!Files.exists(p)) 0L
+    else walkTree(p)(_.count(_.getFileName.toString.endsWith(".parquet")))
   }
 
   def load(spark: SparkSession, path: String): PropertyGraph = {
@@ -148,8 +160,6 @@ object GraphPackage {
   }
 
   private[graft] def deleteRecursive(p: Path): Unit =
-    if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    }
+    if (Files.exists(p))
+      walkTree(p)(_.toSeq.reverse.foreach(Files.delete))
 }

@@ -27,11 +27,7 @@ class CompactionSpec extends AnyFunSuite {
     s"""{"type": "FeatureCollection", "features": [${feats.mkString(",")}]}"""
   }
 
-  private def countParquet(dir: String): Long = {
-    import scala.jdk.CollectionConverters._
-    Files.walk(Paths.get(dir)).iterator().asScala
-      .count(_.getFileName.toString.endsWith(".parquet"))
-  }
+  private def countParquet(dir: String): Long = GraphPackage.countDataFiles(dir)
 
   test("compact shrinks the file count without changing the package's content") {
     val tmp = Files.createTempDirectory("graft-compact")

@@ -21,11 +21,26 @@ class Extended7Spec extends AnyFunSuite {
     val recount = Tables.t(spark, sf, "documents")
       .select(split(col("text"), " ").as("ws"))
       .select(explode(expr(
-        "transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS a, ws[i] AS b))"))
+        "if(size(ws) > 1, transform(sequence(1, size(ws) - 1), " +
+          "i -> struct(ws[i-1] AS a, ws[i] AS b)), array())"))
         .as("p"))
       .filter(col("p.a") === w1 && col("p.b") === w2)
       .count()
     assert(recount == cxy)
+  }
+
+  test("t11 bigram builder survives empty and single-token documents") {
+    import spark.implicits._
+    // sequence(1, 0) is descending [1, 0], so an unguarded transform would
+    // index out of bounds (ANSI crash) on short docs
+    val out = Seq("", "solo", "two words").toDF("text")
+      .select(split(col("text"), " ").as("ws"))
+      .select(explode(expr(
+        "if(size(ws) > 1, filter(transform(sequence(1, size(ws) - 1), " +
+          "i -> struct(ws[i-1] AS w1, ws[i] AS w2)), " +
+          "p -> length(p.w1) > 0 AND length(p.w2) > 0), array())")).as("b"))
+      .collect()
+    assert(out.length == 1)
   }
 
   test("f14 interval battery: derived dates are self-consistent") {

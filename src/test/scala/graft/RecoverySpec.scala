@@ -16,7 +16,6 @@ class RecoverySpec extends AnyFunSuite {
     val src = java.nio.file.Files.createTempDirectory("graft-recover-src")
     val ckpt = java.nio.file.Files.createTempDirectory("graft-recover-ckpt").toString
     val events = Tables.events(spark, "/root/testdata/sf0.001").cache()
-    val half = events.count() / 2
 
     // split the fixture into two arrival waves on event_id parity —
     // deterministic and disjoint. The file source lists plain files, so
