@@ -16,7 +16,8 @@ object ExplainDump {
     "e11_scd2", "e10_funnel", "a11_topk_udaf", "v2_vector_quantize",
     "q4_shipping_priority", "q5_region_volume", "q6_revenue_delta",
     "j11_knn_join", "j12_recursive_chain", "g8_zorder_cell",
-    "e13_session_window")
+    "e13_session_window", "t12_chunk_overlap", "a13_bitmap_distinct",
+    "ann_pq_topk", "t15_winsorize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -19,7 +19,9 @@ object Registry {
     (Extended5.queries, Extended5.oracleSql),
     (Extended6.queries, Extended6.oracleSql),
     (Extended7.queries, Extended7.oracleSql),
-    (Extended8.queries, Extended8.oracleSql)
+    (Extended8.queries, Extended8.oracleSql),
+    (Extended9.queries, Extended9.oracleSql),
+    (Extended10.queries, Extended10.oracleSql)
   )
 
   def queries: Map[String, Q] = providers.map(_._1).reduce(_ ++ _)

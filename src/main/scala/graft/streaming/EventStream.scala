@@ -112,4 +112,65 @@ object EventStream {
       }
       .toDF()
   }
+
+  /** One gap-session aggregate per (user, session), closed by EVENT-TIME
+    * TIMEOUT — the flatMapGroupsWithState pattern native session_window
+    * can't express when the emission must carry custom per-session state.
+    * A user's open session lives in state; it is emitted either when a new
+    * event arrives past the gap (session provably over) or when the
+    * watermark passes `session end + gap` (no event can extend it anymore —
+    * Spark runs a no-data micro-batch to fire these timeouts).
+    *
+    * State is O(open sessions) = O(active users), the property that makes
+    * this run indefinitely at scale; nothing buffers raw events.
+    *
+    * Emits exactly the batch
+    * `groupBy(user_id, session_window(ts, gap))` aggregate for every
+    * session the final watermark has passed (proved in StreamingSpec).
+    */
+  case class OpenSess(start: Long, end: Long, n: Long, total: Double)
+
+  def timedSessions(spark: SparkSession, events: DataFrame,
+      gapSec: Long = 1800L, watermark: String = "1 second"): DataFrame = {
+    import spark.implicits._
+    val typed = normalize(events)
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSess, (Long, Long, Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, _, state) if state.hasTimedOut =>
+          val s = state.get
+          state.remove()
+          Iterator.single((uid, s.start, s.end, s.n, s.total))
+        case (uid, rows, state) =>
+          // event-time order within the batch; across batches the file
+          // source's in-order arrival (same contract as sessionize) holds
+          val sorted = rows.map { case (_, ts, v) => (ts.getTime / 1000, v) }
+            .toIndexedSeq.sortBy(_._1)
+          var closed = List.empty[OpenSess]
+          var cur = state.getOption
+          sorted.foreach { case (sec, v) =>
+            cur = cur match {
+              // strictly-greater break matches session_window, which still
+              // merges an event landing exactly at end + gap
+              case Some(s) if sec - s.end > gapSec =>
+                closed ::= s
+                Some(OpenSess(sec, sec, 1L, v))
+              case Some(s) =>
+                Some(OpenSess(s.start, math.max(s.end, sec), s.n + 1, s.total + v))
+              case None => Some(OpenSess(sec, sec, 1L, v))
+            }
+          }
+          cur.foreach { s =>
+            state.update(s)
+            // must stay ahead of the watermark or Spark rejects the stamp
+            state.setTimeoutTimestamp(math.max((s.end + gapSec) * 1000 + 1000,
+              state.getCurrentWatermarkMs() + 1000))
+          }
+          closed.reverseIterator.map(s => (uid, s.start, s.end, s.n, s.total))
+      }
+      .toDF("user_id", "sess_start", "sess_end", "n", "total")
+  }
 }

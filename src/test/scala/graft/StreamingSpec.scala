@@ -158,4 +158,72 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
     assert(got.nonEmpty && got.length == batch.length && got.sameElements(batch))
   }
+
+  test("event-time-timeout sessions (flatMapGroupsWithState) == batch session_window") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001").cache()
+    val src = java.nio.file.Files.createTempDirectory("graft-timeout-src")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-timeout-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val file = java.nio.file.Files.list(tmp).iterator()
+      while (file.hasNext) {
+        val p = file.next()
+        if (p.getFileName.toString.endsWith(".parquet"))
+          java.nio.file.Files.move(p, src.resolve(name))
+      }
+    }
+    // two in-event-time-order waves, then a far-future sentinel event that
+    // drags the watermark past every real session's end + gap so all of
+    // them time out and emit
+    val mid = events.agg(expr("percentile(unix_timestamp(ts), 0.5)")).head.getDouble(0).toLong
+    val maxTs = events.agg(max(unix_timestamp(col("ts")))).head.getLong(0)
+    stage(events.filter(unix_timestamp(col("ts")) <= mid), "wave1.parquet")
+
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    val q = EventStream.timedSessions(spark, stream, gapSec = 1800L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("timeout_sess_out").start()
+    try {
+      q.processAllAvailable()
+      stage(events.filter(unix_timestamp(col("ts")) > mid), "wave2.parquet")
+      q.processAllAvailable()
+      val sentinel = events.limit(1)
+        .withColumn("user_id", lit(-1L))
+        .withColumn("ts", timestamp_seconds(lit(maxTs + 4 * 3600)))
+      stage(sentinel, "wave3.parquet")
+      q.processAllAvailable()
+      // the timeout fires in a no-data micro-batch after the watermark
+      // moves; give it a bounded wait
+      val deadline = System.currentTimeMillis() + 30000
+      def emitted() = spark.table("timeout_sess_out").count()
+      val expected = EventStream.normalize(events)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .count().count()
+      while (emitted() < expected && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val got = spark.table("timeout_sess_out")
+      .filter(col("user_id") >= 0)
+      .orderBy("user_id", "sess_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        math.rint(r.getDouble(4) * 100) / 100))
+    val batch = EventStream.normalize(events)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"),
+        min(unix_timestamp(col("ts"))).as("s"), max(unix_timestamp(col("ts"))).as("e"))
+      .select(col("user_id"), col("s"), col("e"), col("n"), col("total"))
+      .orderBy("user_id", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        math.rint(r.getDouble(4) * 100) / 100))
+    events.unpersist()
+    assert(got.length == batch.length,
+      s"emitted ${got.length} sessions, batch has ${batch.length}")
+    got.zip(batch).foreach { case (g, b) =>
+      assert(g._1 == b._1 && g._2 == b._2 && g._3 == b._3 && g._4 == b._4, s"$g vs $b")
+      assert(math.abs(g._5 - b._5) <= 0.02, s"$g vs $b")
+    }
+  }
 }
