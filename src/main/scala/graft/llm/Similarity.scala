@@ -155,6 +155,8 @@ object Similarity {
     val training: Array[Array[Double]] = embeddings.orderBy(col(idCol))
       .limit(ksub).select(col(vecCol).cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
+    require(training.length == ksub,
+      s"PQ needs at least ksub=$ksub training vectors, got ${training.length}")
     val codebook: Array[Array[Array[Double]]] =
       Array.tabulate(m, ksub)((j, c) => training(c).slice(j * subDim, (j + 1) * subDim))
 

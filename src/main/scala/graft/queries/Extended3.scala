@@ -45,8 +45,7 @@ object Extended3 {
 
     // ---- CSV + JSON sink/source round-trip (schema-applied re-read) ----
     "s7_format_roundtrip" -> ((s, d) => {
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_s7_" + d.replaceAll("[^a-zA-Z0-9]", "_")).getAbsolutePath
+      val dir = Scratch.dir("s7", d)
       val li = t(s, d, "lineitem")
         .select("l_orderkey", "l_returnflag", "l_quantity", "l_linenumber")
       li.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
@@ -67,8 +66,7 @@ object Extended3 {
     // The re-read scan must show PartitionFilters (proved in
     // Extended3Spec via inputFiles), not a full-table scan + filter.
     "s8_partition_prune" -> ((s, d) => {
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_s8_" + d.replaceAll("[^a-zA-Z0-9]", "_")).getAbsolutePath
+      val dir = Scratch.dir("s8", d)
       val ev = t(s, d, "events").withColumn("day", to_date(col("ts")))
       ev.write.mode("overwrite").partitionBy("day").parquet(dir)
       val firstDay = ev.agg(min("day")).head.getDate(0)

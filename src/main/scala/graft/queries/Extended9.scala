@@ -21,8 +21,9 @@ object Extended9 {
   type Q = (SparkSession, String) => DataFrame
 
   // shared token pipeline: whitespace split, empties dropped (documents are
-  // single-spaced prose; the filter only guards pathological rows)
-  private val toks = "filter(split(text, ' '), w -> length(w) > 0)"
+  // single-spaced prose; the filter only guards pathological rows).
+  // Extended11's contamination shingles reuse it — one tokenizer everywhere.
+  private[queries] val toks = "filter(split(text, ' '), w -> length(w) > 0)"
 
   def queries: Map[String, Q] = Map(
     // ---- chunking: fixed-size overlapping token windows (size 50, stride
@@ -118,8 +119,7 @@ object Extended9 {
     // parquet/CSV/JSON in s7/s8): write, re-read with applied schema,
     // aggregate — proves the format path end to end.
     "s9_orc_roundtrip" -> ((s, d) => {
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_s9_" + d.replaceAll("[^a-zA-Z0-9]", "_")).getAbsolutePath
+      val dir = Scratch.dir("s9", d)
       val li = t(s, d, "lineitem")
         .select("l_orderkey", "l_returnflag", "l_quantity", "l_linenumber")
       li.write.mode("overwrite").orc(dir)

@@ -130,9 +130,18 @@ object EventStream {
     */
   case class OpenSess(start: Long, end: Long, n: Long, total: Double)
 
+  /** `sess_start`/`sess_end` are epoch MICROseconds — the gap decision runs
+    * at full timestamp precision (a whole-second truncation would merge
+    * sessions whose true gap lies in (gap, gap+1s), diverging from batch
+    * session_window).
+    */
   def timedSessions(spark: SparkSession, events: DataFrame,
       gapSec: Long = 1800L, watermark: String = "1 second"): DataFrame = {
     import spark.implicits._
+    val gapMicros = gapSec * 1000000L
+    // ts must flow through AS the watermarked timestamp column — converting
+    // it to a long here would strip the watermark and fail the event-time-
+    // timeout analysis check; micros are derived inside the state function
     val typed = normalize(events)
       .withWatermark("ts", watermark)
       .select(col("user_id"), col("ts"), col("value"))
@@ -147,26 +156,27 @@ object EventStream {
         case (uid, rows, state) =>
           // event-time order within the batch; across batches the file
           // source's in-order arrival (same contract as sessionize) holds
-          val sorted = rows.map { case (_, ts, v) => (ts.getTime / 1000, v) }
-            .toIndexedSeq.sortBy(_._1)
+          val sorted = rows.map { case (_, ts, v) =>
+            ((ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L, v)
+          }.toIndexedSeq.sortBy(_._1)
           var closed = List.empty[OpenSess]
           var cur = state.getOption
-          sorted.foreach { case (sec, v) =>
+          sorted.foreach { case (us, v) =>
             cur = cur match {
               // strictly-greater break matches session_window, which still
               // merges an event landing exactly at end + gap
-              case Some(s) if sec - s.end > gapSec =>
+              case Some(s) if us - s.end > gapMicros =>
                 closed ::= s
-                Some(OpenSess(sec, sec, 1L, v))
+                Some(OpenSess(us, us, 1L, v))
               case Some(s) =>
-                Some(OpenSess(s.start, math.max(s.end, sec), s.n + 1, s.total + v))
-              case None => Some(OpenSess(sec, sec, 1L, v))
+                Some(OpenSess(s.start, math.max(s.end, us), s.n + 1, s.total + v))
+              case None => Some(OpenSess(us, us, 1L, v))
             }
           }
           cur.foreach { s =>
             state.update(s)
             // must stay ahead of the watermark or Spark rejects the stamp
-            state.setTimeoutTimestamp(math.max((s.end + gapSec) * 1000 + 1000,
+            state.setTimeoutTimestamp(math.max((s.end + gapMicros) / 1000 + 1000,
               state.getCurrentWatermarkMs() + 1000))
           }
           closed.reverseIterator.map(s => (uid, s.start, s.end, s.n, s.total))

@@ -104,8 +104,10 @@ class Extended9Spec extends AnyFunSuite {
     val byLabel = q("v3_norm_pool").groupBy("label")
       .agg(sum(col("c") * col("c")).as("norm2")).collect()
     assert(byLabel.nonEmpty)
+    // components are rounded to 6 dp before the norm: 64 dims × 5e-7
+    // component error admits up to ~8e-6 excess at norm ≈ 1
     byLabel.foreach(r =>
-      assert(r.getDouble(1) <= 1.0 + 1e-6 && r.getDouble(1) > 0.0))
+      assert(r.getDouble(1) <= 1.0 + 1e-4 && r.getDouble(1) > 0.0))
   }
 
   test("f16 parsed URL components reassemble to the original URL") {

@@ -23,16 +23,8 @@ class RecoverySpec extends AnyFunSuite {
     val w1 = events.filter(col("event_id") % 2 === 0)
     val w2 = events.filter(col("event_id") % 2 === 1)
     assert(w1.count() > 0 && w2.count() > 0 && w1.count() + w2.count() == events.count())
-    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-recover-stage")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).iterator()
-      val it = new scala.collection.Iterator[java.nio.file.Path] {
-        def hasNext = part.hasNext; def next() = part.next()
-      }
-      val file = it.find(_.getFileName.toString.endsWith(".parquet")).get
-      java.nio.file.Files.move(file, src.resolve(name))
-    }
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+      TestSpark.stageSingleParquet(df, src, name)
     stage(w1, "wave1.parquet")
 
     def startQuery() = {

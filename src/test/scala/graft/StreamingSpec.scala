@@ -159,19 +159,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.length == batch.length && got.sameElements(batch))
   }
 
+  test("stream-static broadcast enrichment == batch join") {
+    // the dimension is a static DataFrame joined into every micro-batch —
+    // Spark broadcasts it per batch; no stateful join machinery involved
+    val users = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id")).distinct()
+      .withColumn("cohort", col("user_id") % 5)
+    val stream = EventStream.readEvents(spark, dir)
+    val q = stream.join(broadcast(users), "user_id")
+      .groupBy("cohort")
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("enrich_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("enrich_out").orderBy("cohort")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val batch = Tables.events(spark, "/root/testdata/sf0.001")
+      .join(users, "user_id").groupBy("cohort")
+      .agg(count(lit(1)).as("n")).orderBy("cohort")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty && got.sameElements(batch))
+  }
+
   test("event-time-timeout sessions (flatMapGroupsWithState) == batch session_window") {
     val events = Tables.events(spark, "/root/testdata/sf0.001").cache()
     val src = java.nio.file.Files.createTempDirectory("graft-timeout-src")
-    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-timeout-stage")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val file = java.nio.file.Files.list(tmp).iterator()
-      while (file.hasNext) {
-        val p = file.next()
-        if (p.getFileName.toString.endsWith(".parquet"))
-          java.nio.file.Files.move(p, src.resolve(name))
-      }
-    }
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+      TestSpark.stageSingleParquet(df, src, name)
     // two in-event-time-order waves, then a far-future sentinel event that
     // drags the watermark past every real session's end + gap so all of
     // them time out and emit
@@ -213,7 +227,7 @@ class StreamingSpec extends AnyFunSuite {
     val batch = EventStream.normalize(events)
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
       .agg(count(lit(1)).as("n"), sum("value").as("total"),
-        min(unix_timestamp(col("ts"))).as("s"), max(unix_timestamp(col("ts"))).as("e"))
+        min(unix_micros(col("ts"))).as("s"), max(unix_micros(col("ts"))).as("e"))
       .select(col("user_id"), col("s"), col("e"), col("n"), col("total"))
       .orderBy("user_id", "s")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
