@@ -327,8 +327,28 @@ object Dedup {
       nsArr(i) = r.getInt(2)
       idArr(i) = r.get(3)
     }
-    val bcBits = spark.sparkContext.broadcast(bitsArr)
-    val bcNs = spark.sparkContext.broadcast(nsArr)
+    // size-ascending physical layout, flattened to ONE contiguous long
+    // array (row p at offset p·width): the O(n²) inner scan walks memory
+    // strictly linearly — no Array[Array[_]] pointer chasing — and the
+    // ascending sizes power the length-filter prune below: jaccard(A,B) ≤
+    // |A|/|B| when |A| ≤ |B|, so once the size ratio of a stripe row
+    // against the (ever larger) inner docs drops below the kept worst, the
+    // whole inner tail is unreachable and the row breaks early. The heap's
+    // top-k is a total order — arrival order can't change it. rank(p)
+    // recovers the id-rank for tie-breaks and output ids.
+    val rank = Array.tabulate(n)(identity).sortBy(i => (nsArr(i), i))
+    val width = bitsArr.iterator.map(_.length).max
+    val flat = new Array[Long](n * width)
+    var p0 = 0
+    while (p0 < n) {
+      val src = bitsArr(rank(p0))
+      System.arraycopy(src, 0, flat, p0 * width, src.length)
+      p0 += 1
+    }
+    val bcBits = spark.sparkContext.broadcast(flat)
+    val bcNs = spark.sparkContext.broadcast(rank.map(nsArr))
+    val bcRank = spark.sparkContext.broadcast(rank)
+    val widthL = width
     val stripes = math.min(n, spark.sparkContext.defaultParallelism * 4)
     val kk = k
 
@@ -349,33 +369,48 @@ object Dedup {
       val pq = scala.collection.mutable.PriorityQueue.empty[(Double, Int, Int, Double)](worstFirst)
       def round4(x: Double): Double =
         BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-      var i = s.toInt
-      while (i < bits.length) {
-        val bi = bits(i)
-        val ni = ns(i)
-        var j = i + 1
-        while (j < bits.length) {
-          val bj = bits(j)
-          val len = math.min(bi.length, bj.length)
+      val rnk = bcRank.value
+      val nDocs = rnk.length
+      var p = s.toInt
+      while (p < nDocs) {
+        val ri = rnk(p)
+        val ni = ns(p)
+        val offI = p * widthL
+        var q = p + 1
+        var pruned = false
+        while (q < nDocs && !pruned) {
+          val nj = ns(q)
+          // length filter: sizes ascend with q, so jac ≤ ni/nj here and for
+          // every later q; below the kept worst (4-dp margin) ⇒ break
+          if (pq.size == kk && nj > 0 && ni.toDouble / nj < pq.head._1 - 1e-4) {
+            pruned = true
+          } else {
+          val offJ = q * widthL
           var inter = 0L
           var w = 0
-          while (w < len) { inter += java.lang.Long.bitCount(bi(w) & bj(w)); w += 1 }
+          while (w < widthL) {
+            inter += java.lang.Long.bitCount(bits(offI + w) & bits(offJ + w))
+            w += 1
+          }
           if (inter > 0) {
-            val jac = inter.toDouble / (ni + ns(j) - inter)
+            val jac = inter.toDouble / (ni + nj - inter)
             // cheap reject before the BigDecimal rounding: 4-dp rounding
             // moves a value by < 5e-5, so anything 1e-4 below the kept
             // worst can never displace it
             if (pq.size < kk || jac >= pq.head._1 - 1e-4) {
-              val cand = (round4(jac), i, j, jac)
+              val rj = rnk(q)
+              val cand = (round4(jac),
+                if (ri < rj) ri else rj, if (ri < rj) rj else ri, jac)
               if (pq.size < kk) pq.enqueue(cand)
               else if (worstFirst.compare(cand, pq.head) < 0) {
                 pq.dequeue(); pq.enqueue(cand)
               }
             }
           }
-          j += 1
+          }
+          q += 1
         }
-        i += stripes.toInt
+        p += stripes.toInt
       }
       pq.iterator.map(t => (t._2.toLong, t._3.toLong, t._4)).toSeq
     }.collect()
@@ -383,6 +418,7 @@ object Dedup {
     // broadcasts before handing back the small result
     bcBits.destroy()
     bcNs.destroy()
+    bcRank.destroy()
     val out = new java.util.ArrayList[org.apache.spark.sql.Row](local.length)
     local.foreach { case (ia, ib, jac) =>
       out.add(org.apache.spark.sql.Row(idArr(ia.toInt), idArr(ib.toInt), jac))

@@ -68,7 +68,10 @@ object Extended3 {
     "s8_partition_prune" -> ((s, d) => {
       val dir = Scratch.dir("s8", d)
       val ev = t(s, d, "events").withColumn("day", to_date(col("ts")))
-      ev.write.mode("overwrite").partitionBy("day").parquet(dir)
+      // shuffle by the partition column first: without it every input task
+      // writes a file into every day directory (tasks × days tiny files —
+      // the classic small-files failure at scale); with it, one file per day
+      ev.repartition(col("day")).write.mode("overwrite").partitionBy("day").parquet(dir)
       val firstDay = ev.agg(min("day")).head.getDate(0)
       s.read.parquet(dir).filter(col("day") === lit(firstDay))
         .groupBy("event_type")
@@ -116,20 +119,24 @@ object Extended3 {
         .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
         .orderBy("l_returnflag", "l_orderkey", "l_linenumber")),
 
-    // ---- GraphX connected components over per-customer order chains ----
-    // Chains (not cliques) force multi-hop label propagation: the component
-    // id must travel the full chain length, exercising the iterative Pregel
-    // path rather than a single hash-agg. The oracle states the fixpoint
-    // (min orderkey per customer) directly.
+    // ---- GraphX connected components over per-customer order trees ----
+    // Balanced binary-tree edges (order j → order (j-1)/2 in sorted
+    // position) force multi-hop label propagation — the component id still
+    // travels tree depth ≈ log₂(orders-per-customer) hops, exercising the
+    // iterative Pregel path rather than a single hash-agg — while keeping
+    // the component diameter (and so the CC iteration count) logarithmic
+    // instead of linear in chain length. Same vertex set and components as
+    // a chain; the oracle states the fixpoint (min orderkey per customer)
+    // directly.
     "j10_connected_components" -> ((s, d) => {
       import s.implicits._
-      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
-      val chain = t(s, d, "orders").select("o_custkey", "o_orderkey")
-        .withColumn("nxt", lead("o_orderkey", 1).over(w))
-        .filter(col("nxt").isNotNull)
-        .select(col("o_orderkey").as("a"), col("nxt").as("b"))
+      val ed = t(s, d, "orders").select("o_custkey", "o_orderkey")
+        .groupBy("o_custkey").agg(sort_array(collect_list("o_orderkey")).as("ks"))
+        .select(explode(expr(
+          "transform(slice(ks, 2, size(ks)), (x, i) -> struct(x AS a, ks[i div 2] AS b))")).as("e"))
+        .select("e.a", "e.b")
       val g = org.apache.spark.graphx.Graph
-        .fromEdgeTuples(chain.as[(Long, Long)].rdd, 0)
+        .fromEdgeTuples(ed.as[(Long, Long)].rdd.coalesce(8), 0)
       g.connectedComponents().vertices
         .toDF("o_orderkey", "component")
         .orderBy("o_orderkey")

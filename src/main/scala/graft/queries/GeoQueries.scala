@@ -74,25 +74,31 @@ object GeoQueries {
     // induced by shared orders — iterative frontier joins, the DataFrame
     // form of a Pregel superstep loop.
     "j3_bfs_hops" -> ((s, d) => {
-      // frontier expansion as two semi-joins per hop (parts → their
-      // orders → those orders' parts): the co-membership edge set
+      // frontier expansion as two broadcast semi-joins per hop (parts →
+      // their orders → those orders' parts): the co-membership edge set
       // (|li|²/|orders| pairs) is never materialized — the 100 TB-safe
-      // formulation of an iterated self-join traversal
-      val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey").cache()
+      // formulation of an iterated self-join traversal. The frontier rides
+      // as a broadcast LocalRelation (same driver residency a broadcast
+      // join needs anyway), which keeps every hop's plan shape — and thus
+      // its generated code — identical, and leaves exactly one shuffle per
+      // hop (the closing distinct; the semi-join build sides dedup inside
+      // their broadcast hash tables). Beyond broadcast-size frontiers this
+      // degrades gracefully: swap broadcast() for a shuffle semi-join.
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
       import s.implicits._
-      var visited = Seq((0L, 0)).toDF("p", "depth")
-      var frontier = visited.select("p")
-      for (i <- 1 to 3) {
-        val ords = li.join(broadcast(frontier), li("l_partkey") === frontier("p"), "left_semi")
-          .select("l_orderkey").distinct()
+      val visited = scala.collection.mutable.Map(0L -> 0)
+      var frontier = Array(0L)
+      for (i <- 1 to 3 if frontier.nonEmpty) {
+        val fdf = frontier.toSeq.toDF("p")
+        val ords = li.join(broadcast(fdf), li("l_partkey") === col("p"), "left_semi")
+          .select("l_orderkey")
         val next = li.join(broadcast(ords), Seq("l_orderkey"), "left_semi")
-          .select(col("l_partkey").as("p")).distinct()
-          .join(visited, Seq("p"), "left_anti")
-          .withColumn("depth", lit(i))
-        visited = visited.unionByName(next).cache()
-        frontier = next.select("p")
+          .select("l_partkey").distinct()
+          .as[Long].collect().filterNot(visited.contains)
+        next.foreach(p => visited(p) = i)
+        frontier = next
       }
-      visited.orderBy("p")
+      visited.toSeq.toDF("p", "depth").orderBy("p")
     })
   )
 

@@ -5,7 +5,7 @@ package graft.queries
   * suite) from racing overwrite-vs-read on the same path; within one
   * process the path is stable so mode("overwrite") keeps re-runs clean.
   */
-private[queries] object Scratch {
+private[graft] object Scratch {
   def dir(tag: String, sfDir: String): String =
     new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_${tag}_${ProcessHandle.current().pid()}_" +

@@ -84,8 +84,7 @@ class Extended3Spec extends AnyFunSuite {
   test("s8 partition-pruned read touches only the selected day's files") {
     // run the query once so the partitioned sink exists
     q("s8_partition_prune").collect()
-    val dir = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_s8_" + sf.replaceAll("[^a-zA-Z0-9]", "_")).getAbsolutePath
+    val dir = graft.queries.Scratch.dir("s8", sf)
     val all = spark.read.parquet(dir)
     val days = all.select("day").distinct().count()
     val firstDay = all.agg(min("day")).head.getDate(0)
