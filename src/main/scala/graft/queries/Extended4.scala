@@ -74,9 +74,13 @@ object Extended4 {
         .groupBy("term").agg(count(lit(1)).as("df"))
       val scored = tf.join(dfreq, "term")
         .withColumn("score", (col("tf") * lit(nDocs + 1)).cast("double") / (col("df") + 1))
-      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
-      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("doc_id"), col("term"), round(col("score"), 4).as("tfidf"))
+      // argmax via a partial-aggregable min(struct): (-score, term) ascending
+      // == (score desc, term asc) — the window form would sort-shuffle every
+      // (doc, term) row just to keep one per doc
+      scored.groupBy("doc_id")
+        .agg(min(struct((-col("score")).as("ns"), col("term"))).as("m"))
+        .select(col("doc_id"), col("m.term").as("term"),
+          round(-col("m.ns"), 4).as("tfidf"))
         .orderBy("doc_id")
     }),
 

@@ -22,7 +22,8 @@ object Registry {
     (Extended8.queries, Extended8.oracleSql),
     (Extended9.queries, Extended9.oracleSql),
     (Extended10.queries, Extended10.oracleSql),
-    (Extended11.queries, Extended11.oracleSql)
+    (Extended11.queries, Extended11.oracleSql),
+    (Extended12.queries, Extended12.oracleSql)
   )
 
   def queries: Map[String, Q] = providers.map(_._1).reduce(_ ++ _)

@@ -89,6 +89,33 @@ object EventStream {
       .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"))
   }
 
+  /** Watermarked stream-stream LEFT OUTER interval join: every purchase
+    * emits exactly once — once per same-user click in the preceding 30
+    * minutes, or alone (null click) after the click watermark passes the
+    * purchase's band, which is when Spark can prove no match will arrive.
+    * Watermarks on both inputs plus the band bound the state exactly as in
+    * [[funnelJoin]]; the outer side additionally holds unmatched purchases
+    * only until the watermark closes their band. Batch twin with oracle:
+    * `e16_interval_left_join`.
+    */
+  def funnelLeftJoin(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val n = normalize(events)
+    val buys = n.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("b_ts", watermark)
+    val clicks = n.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", watermark)
+    buys.join(clicks,
+        col("b_user") === col("c_user") &&
+        col("c_ts") <= col("b_ts") &&
+        col("c_ts") >= col("b_ts") - expr("interval 30 minutes"), "left_outer")
+      .select(col("b_user").as("user_id"), col("purchase_id"),
+        col("click_id"), col("c_ts"))
+  }
+
   /** Stateful per-user running counters via mapGroupsWithState — the
     * custom-state extension point (session tracking, rate limiting, …).
     */

@@ -139,6 +139,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.length == batch.length && got.sameElements(batch))
   }
 
+  test("streaming left-outer interval join == batch e16 query") {
+    // outer-join rows with no match only emit once the watermark closes
+    // their band, and a file stream's watermark stops at max(ts) − delay —
+    // so stage a copy of the data plus a far-future sentinel pair that
+    // pushes both input watermarks past every real purchase's band
+    val d2 = java.nio.file.Files.createTempDirectory("graft-stream-loj")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      d2.resolve("events.parquet"))
+    val raw = spark.read.parquet(dir) // ts is long nanos here
+    val maxTs = raw.agg(max("ts")).head.getLong(0)
+    val sentinelUser = 9999999L
+    val farFuture = maxTs + 30L * 24 * 3600 * 1000000000L
+    import spark.implicits._
+    val sentinel = Seq(
+      (-1L, farFuture, sentinelUser, "click", 0.0, "{}"),
+      (-2L, farFuture, sentinelUser, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    sentinel.select(raw.columns.map(col): _*)
+      .write.mode("append").parquet(d2.toString)
+
+    val q = EventStream.funnelLeftJoin(EventStream.readEvents(spark, d2.toString))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("loj_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("loj_out")
+      .filter(col("user_id") =!= sentinelUser)
+      .groupBy("user_id", "purchase_id")
+      .agg(count(col("click_id")).as("n_clicks"),
+        min(col("c_ts")).as("first_click"))
+    val batch = SparkEntry.queries("e16_interval_left_join")(
+      spark, "/root/testdata/sf0.001")
+    assert(got.count() == batch.count() && got.count() > 0)
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+    // unmatched purchases (null first_click) must actually be present —
+    // that's the part an inner join cannot express
+    assert(got.filter(col("first_click").isNull).count() > 0)
+  }
+
   test("streaming native session_window == batch e13 query") {
     val stream = EventStream.readEvents(spark, dir)
     val agg = EventStream.normalize(stream)
