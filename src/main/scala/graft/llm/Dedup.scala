@@ -109,10 +109,14 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16, shingleN: Int = 2): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sig = minhashSignature(col(textCol), numHashes, shingleN)
-    graft.operators.Par.fanOut(df).select(col(idCol), posexplode(transform(
+    // bind the signature to a column BEFORE the per-band transform: inside
+    // the lambda the UDF call would be re-evaluated once per band (16× the
+    // minhash work — lambda bodies are outside common-subexpression reach)
+    graft.operators.Par.fanOut(df)
+      .select(col(idCol), minhashSignature(col(textCol), numHashes, shingleN).as("_sig"))
+      .select(col(idCol), posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
-        b => polyHashUdf(concat_ws("_", b, concat_ws(",", slice(sig, b * r + 1, lit(r)))))))
+        b => polyHashUdf(concat_ws("_", b, concat_ws(",", slice(col("_sig"), b * r + 1, lit(r)))))))
       .as(Seq("band", "bucket")))
   }
 
@@ -437,6 +441,9 @@ object Dedup {
     import spark.implicits._
     val edges = pairs.select(col("a").cast("long"), col("b").cast("long"))
       .rdd.map(r => GXEdge(r.getLong(0), r.getLong(1), 1))
+      // near-dup pair graphs are tiny relative to the corpus; fewer
+      // partitions cut per-Pregel-iteration task overhead
+      .coalesce(8)
     GXGraph.fromEdges(edges, 0).connectedComponents()
       .vertices.toDF("id", "cluster")
   }
