@@ -24,7 +24,8 @@ object Registry {
     (Extended10.queries, Extended10.oracleSql),
     (Extended11.queries, Extended11.oracleSql),
     (Extended12.queries, Extended12.oracleSql),
-    (Extended13.queries, Extended13.oracleSql)
+    (Extended13.queries, Extended13.oracleSql),
+    (Extended14.queries, Extended14.oracleSql)
   )
 
   def queries: Map[String, Q] = providers.map(_._1).reduce(_ ++ _)
