@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("bit_and_count"),
       new ExpressionInfo(classOf[BitAndCount].getName, "bit_and_count"),
       (exprs: Seq[Expression]) => BitAndCount.coerced(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_signature"),
+      (exprs: Seq[Expression]) => MinHashSig(exprs(0), 64, 2)))
     // bounded-heap per-group top-k: the strategy plans GroupTopKNode, the
     // rule rewrites row_number()<=k window filters into it
     e.injectPlannerStrategy(_ => graft.plans.GroupTopK.Strategy)
@@ -50,8 +54,8 @@ object GraftExtensions {
         Geo.haversine(lon1, lat1, lon2, lat2))
     spark.udf.register("node_id",
       (lon: Double, lat: Double, precision: Int) => Geo.nodeId(lon, lat, precision))
-    spark.udf.register("minhash_signature",
-      (text: String) => graft.llm.Dedup.minhashSignatureScala(text, 64, 2))
+    ColumnBridge.registerFunction(spark, "minhash_signature",
+      exprs => MinHashSig(exprs(0), 64, 2))
     spark.udf.register("simhash", graft.llm.Dedup.simhashUdf)
     spark.udf.register("rolling_fingerprint", graft.llm.Text.rollingFingerprintUdf)
     spark.udf.register("lang_id", graft.llm.Text.langIdUdf)

@@ -112,6 +112,55 @@ object BitAndCount {
     BitAndCount(Cast(a, ArrayType(LongType)), Cast(b, ArrayType(LongType)))
 }
 
+/** Static kernel behind [[MinHashSig]] — plain object so the generated
+  * code can call the static forwarder directly. Coefficient arrays are
+  * cached per numHashes (the UDF form re-derived 128 longs per row).
+  */
+object MinHashKernel {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]
+
+  def compute(text: String, numHashes: Int, shingleN: Int): ArrayData = {
+    val (as, bs) = cache.computeIfAbsent(numHashes,
+      nh => graft.llm.Dedup.hashCoeffs(nh))
+    val p = 4294967311L // smallest prime > 2^32
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    graft.llm.Dedup.shinglesScala(text, shingleN).foreach { s =>
+      // a < 2^29 and x < 2^32 keep x*a+b < 2^61: no 64-bit overflow
+      val x = Hashing.mixHash(s) & 0xFFFFFFFFL
+      var i = 0
+      while (i < numHashes) {
+        val h = (x * as(i) + bs(i)) % p
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+}
+
+/** MinHash signature as a native Catalyst expression: stays inside
+  * whole-stage codegen (no UDF plan break, no ScalaUDF boxing/encoder
+  * round trip). Bit-identical to [[graft.llm.Dedup.minhashSignatureScala]]
+  * — same shingle set, same affine hash family.
+  */
+case class MinHashSig(child: Expression, numHashes: Int, shingleN: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashKernel.compute(input.toString, numHashes, shingleN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashKernel.compute($c.toString(), $numHashes, $shingleN);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(

@@ -45,17 +45,18 @@ object Dedup {
     * splitmix64∘polyHash — deterministic across runs and bit-exactly
     * replicable in the SQL oracle).
     *
-    * Single-pass UDF on purpose: the expression-tree form (numHashes ×
-    * array_min(transform(...))) re-traverses the shingle array per hash
-    * function and per downstream band reference — measured 100×+ slower at
-    * sf0.1. One shingle scan updating all minima is the per-row optimum.
+    * Single-pass native expression on purpose: the expression-tree form
+    * (numHashes × array_min(transform(...))) re-traverses the shingle
+    * array per hash function and per downstream band reference — measured
+    * 100×+ slower at sf0.1. One shingle scan updating all minima is the
+    * per-row optimum, and the Catalyst `MinHashSig` form keeps it inside
+    * whole-stage codegen (no ScalaUDF plan break or boxing).
     */
-  def minhashSignature(text: Column, numHashes: Int = 64, shingleN: Int = 2): Column = {
-    val nh = numHashes
-    val sn = shingleN
-    val f = udf((t: String) => minhashSignatureScala(t, nh, sn))
-    f(text)
-  }
+  def minhashSignature(text: Column, numHashes: Int = 64, shingleN: Int = 2): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.MinHashSig(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text.cast("string")),
+        numHashes, shingleN))
 
   /** The (a_i, b_i) affine-hash coefficient family — shared between the
     * Scala signature computation and the SQL oracle builder so the two
@@ -85,7 +86,7 @@ object Dedup {
   }
 
   /** Scala mirror of [[shingles]] (same distinct word n-gram sets). */
-  private[llm] def shinglesScala(text: String, n: Int): Set[String] = {
+  private[graft] def shinglesScala(text: String, n: Int): Set[String] = {
     if (text == null) return Set.empty
     val ws = text.trim.split("\\s+").filter(_.nonEmpty)
     if (n <= 1) ws.toSet
