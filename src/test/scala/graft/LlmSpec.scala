@@ -98,6 +98,36 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("ngram jaccard top-k prune survives randomized corpora (ties, subsets, dups)") {
+    // adversarial shapes for the size-ascending length-filter break: exact
+    // duplicates (jac 1.0 ties), strict subsets (jac == |A|/|B|, the prune
+    // bound itself), disjoint docs, empty-ish docs — across random sizes
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("ab", "cd", "ef", "gh", "ij", "kl", "mn", "op")
+    for (trial <- 1 to 5) {
+      val n = 20 + rnd.nextInt(30)
+      val docs = (0L until n.toLong).map { i =>
+        val len = 2 + rnd.nextInt(10)
+        val words = Seq.fill(len)(vocab(rnd.nextInt(vocab.size)))
+        val text = rnd.nextInt(4) match {
+          case 0 if i > 0 => null // exercised null path
+          case 1 => words.take(3).mkString(" ") // short → subset-prone
+          case _ => words.mkString(" ")
+        }
+        (i, if (text == null) "" else text)
+      }.toDF("doc_id", "text")
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("a"), col("b"), round(col("jaccard"), 4).as("j"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      for (k <- Seq(1, 7, 50)) {
+        val full = key(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2)
+          .orderBy(round(col("jaccard"), 4).desc, col("a"), col("b")).limit(k))
+        val fast = key(Dedup.ngramJaccardTopK(docs, "doc_id", "text", k, 2))
+        assert(fast == full, s"trial=$trial k=$k mismatch")
+      }
+    }
+  }
+
   test("LSH ANN top-k has high recall vs brute force on real embeddings") {
     val e = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
     val qv = e.filter(col("vec_id") === 0).select("embedding")
