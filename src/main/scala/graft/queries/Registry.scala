@@ -25,7 +25,8 @@ object Registry {
     (Extended11.queries, Extended11.oracleSql),
     (Extended12.queries, Extended12.oracleSql),
     (Extended13.queries, Extended13.oracleSql),
-    (Extended14.queries, Extended14.oracleSql)
+    (Extended14.queries, Extended14.oracleSql),
+    (Extended15.queries, Extended15.oracleSql)
   )
 
   def queries: Map[String, Q] = providers.map(_._1).reduce(_ ++ _)
