@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 
 /** SQL exposure of the engine's functions.
   *
@@ -29,10 +29,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("bit_and_count"),
       new ExpressionInfo(classOf[BitAndCount].getName, "bit_and_count"),
       (exprs: Seq[Expression]) => BitAndCount.coerced(exprs(0), exprs(1))))
+    // cast-to-string first: the old UDF registration got this implicitly
+    // from its (String => _) signature; without it a DATE input would hash
+    // its internal Int days representation
     e.injectFunction((
       new FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_signature"),
-      (exprs: Seq[Expression]) => MinHashSig(exprs(0), 64, 2)))
+      (exprs: Seq[Expression]) => MinHashSig(
+        Cast(exprs(0), org.apache.spark.sql.types.StringType), 64, 2)))
     // bounded-heap per-group top-k: the strategy plans GroupTopKNode, the
     // rule rewrites row_number()<=k window filters into it
     e.injectPlannerStrategy(_ => graft.plans.GroupTopK.Strategy)
@@ -55,7 +59,8 @@ object GraftExtensions {
     spark.udf.register("node_id",
       (lon: Double, lat: Double, precision: Int) => Geo.nodeId(lon, lat, precision))
     ColumnBridge.registerFunction(spark, "minhash_signature",
-      exprs => MinHashSig(exprs(0), 64, 2))
+      exprs => MinHashSig(
+        Cast(exprs(0), org.apache.spark.sql.types.StringType), 64, 2))
     spark.udf.register("simhash", graft.llm.Dedup.simhashUdf)
     spark.udf.register("rolling_fingerprint", graft.llm.Text.rollingFingerprintUdf)
     spark.udf.register("lang_id", graft.llm.Text.langIdUdf)

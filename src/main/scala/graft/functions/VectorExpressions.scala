@@ -120,7 +120,12 @@ object MinHashKernel {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]
 
-  def compute(text: String, numHashes: Int, shingleN: Int): ArrayData = {
+  /** The ONE minhash loop — [[graft.llm.Dedup.minhashSignatureScala]]
+    * delegates here, so the expression and the oracle builder cannot
+    * drift. Null text hashes like empty text (no shingles → the
+    * all-Long.MaxValue signature), matching the SQL oracle's coalesce.
+    */
+  def computeRaw(text: String, numHashes: Int, shingleN: Int): Array[Long] = {
     val (as, bs) = cache.computeIfAbsent(numHashes,
       nh => graft.llm.Dedup.hashCoeffs(nh))
     val p = 4294967311L // smallest prime > 2^32
@@ -135,8 +140,12 @@ object MinHashKernel {
         i += 1
       }
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+    mins
   }
+
+  def compute(text: String, numHashes: Int, shingleN: Int): ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      computeRaw(text, numHashes, shingleN))
 }
 
 /** MinHash signature as a native Catalyst expression: stays inside
@@ -150,12 +159,27 @@ case class MinHashSig(child: Expression, numHashes: Int, shingleN: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
 
-  override protected def nullSafeEval(input: Any): Any =
-    MinHashKernel.compute(input.toString, numHashes, shingleN)
+  // null text hashes like empty text (the UDF predecessor's behavior and
+  // the SQL oracle's coalesce(..., [])): the signature is never null
+  override def nullable: Boolean = false
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.MinHashKernel.compute($c.toString(), $numHashes, $shingleN);")
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    MinHashKernel.compute(if (v == null) "" else v.toString, numHashes, shingleN)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val c = child.genCode(ctx)
+    val call = s"graft.functions.MinHashKernel.compute(" +
+      s"${c.isNull} ? \"\" : ${c.value}.toString(), $numHashes, $shingleN)"
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = $call;""",
+      isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)

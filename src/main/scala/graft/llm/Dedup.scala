@@ -67,23 +67,13 @@ object Dedup {
       2L * (deterministicCoeff(2 * i) % (1L << 28)) + 1), // odd, < 2^29
     Array.tabulate(numHashes)(i => deterministicCoeff(2 * i + 1) % (1L << 29)))
 
+  /** Delegates to the single shared kernel behind the Catalyst
+    * `MinHashSig` expression — one loop, so the expression and this
+    * oracle-builder entry point cannot drift bit-wise.
+    */
   private[graft] def minhashSignatureScala(
-      text: String, numHashes: Int, shingleN: Int): Array[Long] = {
-    val p = 4294967311L // smallest prime > 2^32
-    val (as, bs) = hashCoeffs(numHashes)
-    val mins = Array.fill(numHashes)(Long.MaxValue)
-    shinglesScala(text, shingleN).foreach { s =>
-      // a < 2^29 and x < 2^32 keep x*a+b < 2^61: no 64-bit overflow
-      val x = graft.functions.Hashing.mixHash(s) & 0xFFFFFFFFL
-      var i = 0
-      while (i < numHashes) {
-        val h = (x * as(i) + bs(i)) % p
-        if (h < mins(i)) mins(i) = h
-        i += 1
-      }
-    }
-    mins
-  }
+      text: String, numHashes: Int, shingleN: Int): Array[Long] =
+    graft.functions.MinHashKernel.computeRaw(text, numHashes, shingleN)
 
   /** Scala mirror of [[shingles]] (same distinct word n-gram sets). */
   private[graft] def shinglesScala(text: String, n: Int): Set[String] = {

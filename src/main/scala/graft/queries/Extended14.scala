@@ -33,19 +33,28 @@ object Extended14 {
           sum(col("x") * col("y")).as("sxy"),
           sum(col("x") * col("x")).as("sxx"),
           sum(col("y") * col("y")).as("syy"))
+        // cast each SUM to double BEFORE any product: the sums themselves
+        // are exact int64, but products like n·sxx or sx·sx overflow int64
+        // at ~sf100 — where DuckDB silently promotes to 128-bit and Spark
+        // wraps. Double products of identically-cast operands are
+        // correctly rounded and therefore still bit-identical cross-engine.
         .select(col("l_returnflag"), col("n"),
-          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 9).as("slope"),
-          round((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") /
-            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 9).as("intercept"),
-          // square AFTER the cast: the int64 difference is ~1e13 and its
-          // square overflows int64 (DuckDB would silently promote to
-          // 128-bit; Spark would wrap) — in double both engines compute
-          // the identical correctly-rounded product
-          round(((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") *
-                 (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")) /
-            ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
-             (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 9).as("r2"))
+          round((col("n").cast("double") * col("sxy").cast("double") -
+                 col("sx").cast("double") * col("sy").cast("double")) /
+            (col("n").cast("double") * col("sxx").cast("double") -
+             col("sx").cast("double") * col("sx").cast("double")), 9).as("slope"),
+          round((col("sy").cast("double") * col("sxx").cast("double") -
+                 col("sx").cast("double") * col("sxy").cast("double")) /
+            (col("n").cast("double") * col("sxx").cast("double") -
+             col("sx").cast("double") * col("sx").cast("double")), 9).as("intercept"),
+          round(((col("n").cast("double") * col("sxy").cast("double") -
+                  col("sx").cast("double") * col("sy").cast("double")) *
+                 (col("n").cast("double") * col("sxy").cast("double") -
+                  col("sx").cast("double") * col("sy").cast("double"))) /
+            ((col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+             (col("n").cast("double") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))), 9).as("r2"))
         .orderBy("l_returnflag")),
 
     // ---- skewness and excess kurtosis per group, from exact power sums ----
@@ -87,14 +96,22 @@ object Extended14 {
              sum(CAST(l_linenumber AS BIGINT) * CAST(l_linenumber AS BIGINT)) AS syy
            FROM lineitem GROUP BY l_returnflag)
          SELECT l_returnflag, n,
-           round(CAST(n * sxy - sx * sy AS DOUBLE) /
-             CAST(n * sxx - sx * sx AS DOUBLE), 9) AS slope,
-           round(CAST(sy * sxx - sx * sxy AS DOUBLE) /
-             CAST(n * sxx - sx * sx AS DOUBLE), 9) AS intercept,
-           round((CAST(n * sxy - sx * sy AS DOUBLE) *
-                  CAST(n * sxy - sx * sy AS DOUBLE)) /
-             (CAST(n * sxx - sx * sx AS DOUBLE) *
-              CAST(n * syy - sy * sy AS DOUBLE)), 9) AS r2
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                  CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+              CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9) AS slope,
+           round((CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                  CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE)) /
+             (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+              CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9) AS intercept,
+           round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                   CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) *
+                  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                   CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))) /
+             ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+               CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+              (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+               CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9) AS r2
          FROM s ORDER BY l_returnflag""",
     "a17_moments" ->
       """WITH s AS (

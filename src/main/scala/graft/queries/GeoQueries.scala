@@ -84,20 +84,24 @@ object GeoQueries {
       // hop (the closing distinct; the semi-join build sides dedup inside
       // their broadcast hash tables). Beyond broadcast-size frontiers this
       // degrades gracefully: swap broadcast() for a shuffle semi-join.
-      val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+      // cache: each hop is an eager action over li (two semi-joins), so
+      // without it the two-column projection rescans parquet up to 6×
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey").cache()
       import s.implicits._
       val visited = scala.collection.mutable.Map(0L -> 0)
       var frontier = Array(0L)
-      for (i <- 1 to 3 if frontier.nonEmpty) {
-        val fdf = frontier.toSeq.toDF("p")
-        val ords = li.join(broadcast(fdf), li("l_partkey") === col("p"), "left_semi")
-          .select("l_orderkey")
-        val next = li.join(broadcast(ords), Seq("l_orderkey"), "left_semi")
-          .select("l_partkey").distinct()
-          .as[Long].collect().filterNot(visited.contains)
-        next.foreach(p => visited(p) = i)
-        frontier = next
-      }
+      try {
+        for (i <- 1 to 3 if frontier.nonEmpty) {
+          val fdf = frontier.toSeq.toDF("p")
+          val ords = li.join(broadcast(fdf), li("l_partkey") === col("p"), "left_semi")
+            .select("l_orderkey")
+          val next = li.join(broadcast(ords), Seq("l_orderkey"), "left_semi")
+            .select("l_partkey").distinct()
+            .as[Long].collect().filterNot(visited.contains)
+          next.foreach(p => visited(p) = i)
+          frontier = next
+        }
+      } finally li.unpersist(blocking = false)
       visited.toSeq.toDF("p", "depth").orderBy("p")
     })
   )

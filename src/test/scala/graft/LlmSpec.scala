@@ -109,12 +109,12 @@ class LlmSpec extends AnyFunSuite {
       val docs = (0L until n.toLong).map { i =>
         val len = 2 + rnd.nextInt(10)
         val words = Seq.fill(len)(vocab(rnd.nextInt(vocab.size)))
-        val text = rnd.nextInt(4) match {
-          case 0 if i > 0 => null // exercised null path
+        val text: String = rnd.nextInt(4) match {
+          case 0 if i > 0 => null // real null rows reach the kernels
           case 1 => words.take(3).mkString(" ") // short → subset-prone
           case _ => words.mkString(" ")
         }
-        (i, if (text == null) "" else text)
+        (i, text)
       }.toDF("doc_id", "text")
       def key(df: org.apache.spark.sql.DataFrame) = df
         .select(col("a"), col("b"), round(col("jaccard"), 4).as("j"))
@@ -125,6 +125,11 @@ class LlmSpec extends AnyFunSuite {
         val fast = key(Dedup.ngramJaccardTopK(docs, "doc_id", "text", k, 2))
         assert(fast == full, s"trial=$trial k=$k mismatch")
       }
+      // null text must hash like empty text (all-MaxValue signature), not
+      // null — every doc, null included, gets all 16 LSH bands
+      val buckets = Dedup.lshBuckets(docs, "doc_id", "text")
+      assert(buckets.filter(col("bucket").isNull).isEmpty)
+      assert(buckets.count() == n * 16L)
     }
   }
 
