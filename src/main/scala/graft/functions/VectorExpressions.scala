@@ -148,6 +148,26 @@ object MinHashKernel {
       computeRaw(text, numHashes, shingleN))
 }
 
+/** Java-style wraparound polynomial string hash as a native expression —
+  * the LSH band-bucket key ([[Hashing.polyHash]]). Null-propagating.
+  */
+case class PolyHash(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_hash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Hashing.polyHash(input.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Hashing.polyHash($c.toString());")
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
 /** MinHash signature as a native Catalyst expression: stays inside
   * whole-stage codegen (no UDF plan break, no ScalaUDF boxing/encoder
   * round trip). Bit-identical to [[graft.llm.Dedup.minhashSignatureScala]]

@@ -94,7 +94,10 @@ object Dedup {
   /** Bucket id = polyHash of "band_sig1,sig2,..." — an 8-byte shuffle key
     * like xxhash64 would give, but exactly replicable in the SQL oracle.
     */
-  private val polyHashUdf = udf((s: String) => graft.functions.Hashing.polyHash(s))
+  private def polyHashCol(c: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.PolyHash(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
 
   def lshBuckets(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleN: Int = 2): DataFrame = {
@@ -107,7 +110,7 @@ object Dedup {
       .select(col(idCol), minhashSignature(col(textCol), numHashes, shingleN).as("_sig"))
       .select(col(idCol), posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
-        b => polyHashUdf(concat_ws("_", b, concat_ws(",", slice(col("_sig"), b * r + 1, lit(r)))))))
+        b => polyHashCol(concat_ws("_", b, concat_ws(",", slice(col("_sig"), b * r + 1, lit(r)))))))
       .as(Seq("band", "bucket")))
   }
 

@@ -77,4 +77,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("dot_product"), s"dot_product expression missing:\n$p")
     assert(!p.contains("UDF"), s"unexpected UDF in similarity plan:\n$p")
   }
+
+  test("minhash signature is a native codegen expression, not a UDF") {
+    val d = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val q = graft.llm.Dedup.lshBuckets(d, "doc_id", "text")
+    val p = plan(q)
+    assert(p.contains("minhash_signature"), s"minhash_signature expression missing:\n$p")
+    assert(p.contains("poly_hash"), s"poly_hash expression missing:\n$p")
+    assert(!p.contains("UDF("), s"unexpected ScalaUDF in the LSH plan:\n$p")
+  }
 }
