@@ -26,7 +26,8 @@ object Registry {
     (Extended12.queries, Extended12.oracleSql),
     (Extended13.queries, Extended13.oracleSql),
     (Extended14.queries, Extended14.oracleSql),
-    (Extended15.queries, Extended15.oracleSql)
+    (Extended15.queries, Extended15.oracleSql),
+    (Extended16.queries, Extended16.oracleSql)
   )
 
   def queries: Map[String, Q] = providers.map(_._1).reduce(_ ++ _)
