@@ -78,16 +78,20 @@ object Extended12 {
     // aggregate expresses — so the trailing sequence rides a bounded
     // 8-row frame as a collect_list and folds map-side. Both engines seed
     // the fold with the first element and fold ascending, so the IEEE
-    // result is bit-identical.
+    // result is bit-identical. The 6-dp rounding is floor(x*1e6 + 0.5)/1e6
+    // rather than round(): α = 0.25 is exact in binary, so EWMA values land
+    // exactly on ties at 6 dp, where Spark's BigDecimal HALF_UP and
+    // DuckDB's double rounding disagree — the floor form is the same IEEE
+    // op sequence on both engines, so it can't tie-break differently.
     "e15_ewma" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         .rowsBetween(-7, Window.currentRow)
       t(s, d, "events")
         .withColumn("xs", collect_list(col("value")).over(w))
         .select(col("event_id"), col("user_id"),
-          round(expr(
+          (floor(expr(
             "aggregate(slice(xs, 2, size(xs) - 1), xs[0], (acc, x) -> 0.25d * x + 0.75d * acc)"
-          ), 6).as("ewma"))
+          ) * lit(1e6) + lit(0.5)) / lit(1e6)).as("ewma"))
         .orderBy("event_id")
     }),
 
@@ -208,10 +212,10 @@ object Extended12 {
          FROM events ORDER BY event_id""",
     "e15_ewma" ->
       """SELECT event_id, user_id,
-           round(list_reduce(list(value) OVER (
+           floor(list_reduce(list(value) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 7 PRECEDING AND CURRENT ROW),
-             (acc, x) -> 0.25 * x + 0.75 * acc), 6) AS ewma
+             (acc, x) -> 0.25 * x + 0.75 * acc) * 1e6 + 0.5) / 1e6 AS ewma
          FROM events ORDER BY event_id""",
     "t17_bm25" ->
       """WITH toks AS (

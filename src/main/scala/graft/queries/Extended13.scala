@@ -110,7 +110,7 @@ object Extended13 {
            QUALIFY row_number() OVER (PARTITION BY l_returnflag
              ORDER BY c DESC, l_linenumber) = 1)
          SELECT a.l_returnflag,
-           count_if(l_quantity > 25) AS n_big,
+           CAST(count_if(l_quantity > 25) AS BIGINT) AS n_big,
            bool_and(l_quantity > 0) AS all_pos,
            bool_or(l_discount > 0.09) AS any_deep_disc,
            any_value(m.mode_ln) AS mode_ln

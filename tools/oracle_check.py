@@ -26,8 +26,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 def cell(v):
+    # repr() keeps full double precision: the driver's hash is bit-strict,
+    # so a 6-sig-digit normalization here would pass values the driver fails
+    # (seen round 3 on e15_ewma's 6th-decimal rounding ties).
     if isinstance(v, float):
-        return f"{v:.6g}"
+        return repr(v)
     return str(v)
 
 def table_hash(df: pd.DataFrame) -> str:
