@@ -74,35 +74,38 @@ object GeoQueries {
     // induced by shared orders — iterative frontier joins, the DataFrame
     // form of a Pregel superstep loop.
     "j3_bfs_hops" -> ((s, d) => {
-      // frontier expansion as two broadcast semi-joins per hop (parts →
-      // their orders → those orders' parts): the co-membership edge set
-      // (|li|²/|orders| pairs) is never materialized — the 100 TB-safe
-      // formulation of an iterated self-join traversal. The frontier rides
-      // as a broadcast LocalRelation (same driver residency a broadcast
-      // join needs anyway), which keeps every hop's plan shape — and thus
-      // its generated code — identical, and leaves exactly one shuffle per
-      // hop (the closing distinct; the semi-join build sides dedup inside
-      // their broadcast hash tables). Beyond broadcast-size frontiers this
-      // degrades gracefully: swap broadcast() for a shuffle semi-join.
-      // cache: each hop is an eager action over li (two semi-joins), so
-      // without it the two-column projection rescans parquet up to 6×
+      // frontier expansion as two semi-joins per hop (parts → their orders
+      // → those orders' parts): the co-membership edge set (|li|²/|orders|
+      // pairs) is never materialized. Both the frontier AND the visited set
+      // stay distributed DataFrames — nothing is collect()ed to the driver,
+      // so a reachable part-set of tens of millions of ids costs executor
+      // memory, not driver heap. Dedup against visited is a per-hop
+      // left_anti join; AQE picks broadcast for small frontiers at bench
+      // scale and falls back to a shuffle semi-join when a frontier grows
+      // past the broadcast threshold — the 100 TB-safe degradation.
+      // localCheckpoint (eager) per hop materializes the frontier once and
+      // truncates the iterated-join lineage so hop N's plan doesn't re-run
+      // hops 1..N-1; it also lets li be unpersisted before the caller's
+      // final action. cache: li is scanned twice per hop, so without it
+      // the two-column projection rescans parquet up to 6×.
       val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey").cache()
       import s.implicits._
-      val visited = scala.collection.mutable.Map(0L -> 0)
-      var frontier = Array(0L)
+      var visited = Seq((0L, 0)).toDF("p", "depth")
+      var frontier = visited.select("p")
       try {
-        for (i <- 1 to 3 if frontier.nonEmpty) {
-          val fdf = frontier.toSeq.toDF("p")
-          val ords = li.join(broadcast(fdf), li("l_partkey") === col("p"), "left_semi")
+        for (i <- 1 to 3) {
+          val ords = li.join(frontier, li("l_partkey") === frontier("p"), "left_semi")
             .select("l_orderkey")
-          val next = li.join(broadcast(ords), Seq("l_orderkey"), "left_semi")
-            .select("l_partkey").distinct()
-            .as[Long].collect().filterNot(visited.contains)
-          next.foreach(p => visited(p) = i)
-          frontier = next
+          val next = li.join(ords, Seq("l_orderkey"), "left_semi")
+            .select(col("l_partkey").as("p")).distinct()
+            .join(visited, Seq("p"), "left_anti")
+            .withColumn("depth", lit(i))
+            .localCheckpoint()
+          visited = visited.union(next)
+          frontier = next.select("p")
         }
+        visited.localCheckpoint().orderBy("p")
       } finally li.unpersist(blocking = false)
-      visited.toSeq.toDF("p", "depth").orderBy("p")
     })
   )
 
