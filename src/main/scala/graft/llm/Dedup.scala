@@ -283,13 +283,28 @@ object Dedup {
     *
     * This is the exact-baseline operator; at data scale where n² is
     * unpayable, [[minhashNearDups]] (LSH) is the path. Vocabularies too big
-    * to dictionary-encode (> 64k) fall back to the inverted-index join.
+    * to dictionary-encode (> 64k) — or corpora past [[defaultMaxKernelDocs]]
+    * documents, whose bitsets would not fit driver/broadcast memory —
+    * fall back to the distributed inverted-index join.
     */
+  /** Doc-count bound for the striped-triangle kernel: 200k docs × 8 KiB
+    * bitset (64k vocab / 8) ≈ 1.6 GiB broadcast — the ceiling of what a
+    * driver collect + executor broadcast can absorb. Beyond it the kernel
+    * would OOM the driver regardless of vocabulary size, so the dispatch
+    * gates on BOTH vocab and doc count.
+    */
+  val defaultMaxKernelDocs = 200000L
+
   def ngramJaccardTopK(df: DataFrame, idCol: String, textCol: String,
-      k: Int, shingleN: Int = 2): DataFrame = {
+      k: Int, shingleN: Int = 2,
+      maxKernelDocs: Long = defaultMaxKernelDocs): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val ordered = (pairs: DataFrame) => pairs
       .orderBy(round(col("jaccard"), 4).desc, col("a"), col("b")).limit(k)
+    // the doc-count gate runs BEFORE docBitsets: a 10⁸-doc corpus with a
+    // tiny vocab must never reach the collect at all
+    if (df.count() > maxKernelDocs)
+      return ordered(ngramJaccardPairsInverted(df, idCol, textCol, shingleN))
     val (docBits, vocabSize, releaseVocab) = docBitsets(df, idCol, textCol, shingleN)
     if (vocabSize == 0 || vocabSize > 65536) {
       releaseVocab()
@@ -433,13 +448,23 @@ object Dedup {
     import org.apache.spark.graphx.{Edge => GXEdge, Graph => GXGraph}
     val spark = pairs.sparkSession
     import spark.implicits._
-    val edges = pairs.select(col("a").cast("long"), col("b").cast("long"))
-      .rdd.map(r => GXEdge(r.getLong(0), r.getLong(1), 1))
-      // near-dup pair graphs are tiny relative to the corpus; fewer
-      // partitions cut per-Pregel-iteration task overhead
-      .coalesce(8)
-    GXGraph.fromEdges(edges, 0).connectedComponents()
-      .vertices.toDF("id", "cluster")
+    // near-dup pair graphs are small relative to the corpus, but not
+    // constant-size: partition count scales with the edge count (~1M
+    // edges/partition, capped at defaultParallelism) so toy graphs avoid
+    // per-Pregel-iteration task overhead while a billion-pair graph still
+    // gets full parallelism. The persist covers both the count and the
+    // Pregel iterations (CC runs eagerly), then releases.
+    val p = pairs.select(col("a").cast("long"), col("b").cast("long")).persist()
+    try {
+      val nEdges = p.count()
+      val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism.toLong,
+        nEdges / 1000000L + 1L)).toInt
+      val edges = p.rdd.map(r => GXEdge(r.getLong(0), r.getLong(1), 1))
+        .coalesce(parts)
+      GXGraph.fromEdges(edges, 0).connectedComponents()
+        .vertices.toDF("id", "cluster")
+        .localCheckpoint()
+    } finally p.unpersist(blocking = false)
   }
 
   /** End-to-end near-duplicate removal: MinHash-LSH candidate pairs →

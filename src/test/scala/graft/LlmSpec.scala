@@ -98,6 +98,22 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("ngram jaccard top-k doc-count gate falls back to the distributed join") {
+    // a corpus over the doc-count bound must route to the inverted-index
+    // join even when the vocab is tiny (the kernel's collect would be
+    // unbounded driver memory at real doc counts) — and the fallback must
+    // produce the identical top-k
+    val docs500 = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val viaKernel = key(Dedup.ngramJaccardTopK(docs500, "doc_id", "text", 20, 2))
+    val viaFallback = key(Dedup.ngramJaccardTopK(docs500, "doc_id", "text", 20, 2,
+      maxKernelDocs = 10L))
+    assert(viaFallback == viaKernel)
+  }
+
   test("ngram jaccard top-k prune survives randomized corpora (ties, subsets, dups)") {
     // adversarial shapes for the size-ascending length-filter break: exact
     // duplicates (jac 1.0 ties), strict subsets (jac == |A|/|B|, the prune
