@@ -57,9 +57,21 @@ object Main {
       val res = g.dwithin(lon.toDouble, lat.toDouble, dist.toDouble, sort = true)
       res.select("_u", "_v", "_distance").show(50, truncate = false)
 
-    // storage-boundary interop: edges re-encoded with GeoPackage-binary
-    // geometry (GP header + WKB) for external consumers, and back.
+    // storage-boundary interop: a real single-file GeoPackage (SQLite) —
+    // the reference's own persistence artifact, readable by QGIS/GDAL/the
+    // reference itself
     case "export-gpkg" :: pkg :: out :: Nil =>
+      val g = GraphPackage.load(spark, pkg)
+      graft.store.GeoPackageFile.export(g, out)
+      println(s"exported ${g.size()} edges / ${g.order()} nodes to GeoPackage $out")
+
+    case "import-gpkg" :: in :: Nil =>
+      val g = graft.store.GeoPackageFile.importGraph(spark, in)
+      println(s"imported ${g.size()} edges / ${g.order()} nodes from GeoPackage $in")
+
+    // distributed variant: parquet with GeoPackage-binary (GP+WKB) geometry
+    // — the sharded exchange format when the graph exceeds one file
+    case "export-gpkg-parquet" :: pkg :: out :: Nil =>
       val g = GraphPackage.load(spark, pkg)
       g.edges
         .withColumn("geom_wkb", graft.geo.Wkb.lineToGpkg(
@@ -68,7 +80,7 @@ object Main {
         .write.mode("overwrite").parquet(out)
       println(s"exported ${spark.read.parquet(out).count()} edges with GeoPackage-binary geometry to $out")
 
-    case "import-gpkg" :: in :: Nil =>
+    case "import-gpkg-parquet" :: in :: Nil =>
       import org.apache.spark.sql.functions._
       val df = spark.read.parquet(in)
       val coords = graft.geo.Wkb.gpkgToCoords(col("geom_wkb"))
@@ -100,8 +112,10 @@ object Main {
           |  dwithin <pkg> <lon> <lat> <meters>
           |  route <pkg> <u> <v> [weightCol]
           |  landmarks <pkg> <weightCol> <node...>
-          |  export-gpkg <pkg> <outdir>
-          |  import-gpkg <dir>""".stripMargin)
+          |  export-gpkg <pkg> <out.gpkg>
+          |  import-gpkg <in.gpkg>
+          |  export-gpkg-parquet <pkg> <outdir>
+          |  import-gpkg-parquet <dir>""".stripMargin)
       sys.exit(2)
   }
 
