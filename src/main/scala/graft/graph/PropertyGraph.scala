@@ -46,6 +46,22 @@ class PropertyGraph(val nodes: DataFrame, val edges: DataFrame,
     graft.spatial.Spatial.nearestK(spatialEdges.getOrElse(edges),
       lon, lat, k, radius, cellDeg)
 
+  /** Node-radius query (ref `nodes_dwithin`: `node_table.py:6-8`, facade
+    * `graphs/digraphdb/__init__.py:84-86`) — the same candidate-prune +
+    * exact-refine kernel as the edge query, over the nodes frame. A node's
+    * Point geometry rides as a 1-vertex polyline through the shared kernel
+    * and comes back in Point shape; geometry-less nodes are never within
+    * any radius (null envelope), matching the reference's rtree behavior.
+    */
+  def nodesDwithin(lon: Double, lat: Double, distance: Double,
+      sort: Boolean = false): DataFrame = {
+    val asLine = nodes.withColumn("geom",
+      struct(col("geom.type").as("type"), array(col("geom.coordinates")).as("coordinates")))
+    graft.spatial.Spatial.dwithin(asLine, lon, lat, distance, sort, cellDeg)
+      .withColumn("geom", struct(col("geom.type").as("type"),
+        element_at(col("geom.coordinates"), 1).as("coordinates")))
+  }
+
   // ---- point lookups (P1-P3) ----
   /** Edge attributes for (u,v) (ref `edge_table.py:136-145`). */
   def getEdge(u: String, v: String): DataFrame =

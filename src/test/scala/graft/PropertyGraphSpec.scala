@@ -63,6 +63,23 @@ class PropertyGraphSpec extends AnyFunSuite {
     assert(dists.sorted.sameElements(dists))
   }
 
+  test("nodesDwithin mirrors the node-radius query (node_table.py:6-8)") {
+    // only node1 itself sits within 0.1 m
+    val self = g.nodesDwithin(-122.3132940, 47.6598762, 0.1, sort = true).collect()
+    assert(self.length == 1)
+    assert(self.head.getAs[String]("_n") == Fixture.TestNode1)
+    assert(self.head.getAs[Double]("_distance") == 0.0)
+    // the hub is ~67.6 m away, the next-nearest node ~70 m: radius 69
+    // catches exactly {node1, hub}, nearest-first
+    val near = g.nodesDwithin(-122.3132940, 47.6598762, 69.0, sort = true).collect()
+    assert(near.map(_.getAs[String]("_n")).toSeq ==
+      Seq(Fixture.TestNode1, Fixture.TestNode2))
+    val dists = near.map(_.getAs[Double]("_distance"))
+    assert(dists.sorted.sameElements(dists))
+    // geometry comes back in Point shape
+    assert(near.head.getAs[org.apache.spark.sql.Row]("geom").getAs[String]("type") == "Point")
+  }
+
   test("intersects bbox returns the edges whose MBR overlaps") {
     val all = Spatial.intersects(g.edges, -123, 47, -122, 48).count()
     assert(all == 8)
