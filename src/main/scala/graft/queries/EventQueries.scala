@@ -58,11 +58,22 @@ object EventQueries {
       t(s, d, "events")
         .select(col("event_id"), get_json_object(col("props"), "$.k").as("k"))
         .orderBy("event_id")),
-    // per-session aggregate on top of sessionization
+    // per-session aggregate fused into the sessionize pass: `value` rides
+    // through the window shuffle, and hash(user_id) already co-locates the
+    // (user_id, session_id) grouping keys, so the whole query is one
+    // shuffle + map-side aggregation — no re-sessionize, no join (the
+    // previous join-on-event_id shape cost two extra shuffles and a second
+    // scan).
     "e4_session_stats" -> ((s, d) => {
-      val sess = queries("e2_sessionize")(s, d)
-      val ev = t(s, d, "events").select(col("event_id"), col("value"))
-      sess.join(ev, "event_id")
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("value"),
+          unix_timestamp(col("ts")).as("sec"))
+      val wOrd = Window.partitionBy("user_id").orderBy("sec", "event_id")
+      ev.withColumn("gap", col("sec") - lag("sec", 1).over(wOrd))
+        .withColumn("new_session",
+          when(col("gap").isNull || col("gap") > SessionGapSec, 1).otherwise(0))
+        .withColumn("session_id",
+          sum("new_session").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
         .groupBy("user_id", "session_id")
         .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
         .orderBy("user_id", "session_id")
