@@ -234,17 +234,21 @@ final class PropertyGraphView(nodes: DataFrame, edges: DataFrame,
 }
 
 object PropertyGraph {
-  /** Build from GeoJSON paths (ref build pipeline `build.py:24-61`).
+  /** Build from geo-file paths (ref build pipeline `build.py:24-61`; the
+    * reference ingests any fiona-readable format, `io.py:10-13`).
     * `.geojsonl`/`.ndjson`/`.jsonl` files use the splittable
-    * newline-delimited reader; anything else the FeatureCollection reader.
+    * newline-delimited reader, `.shp` the shapefile reader, anything else
+    * the GeoJSON FeatureCollection reader.
     */
   def fromGeoJson(spark: org.apache.spark.sql.SparkSession, paths: Seq[String],
       opts: graft.ingest.GeoJsonIngest.Options = graft.ingest.GeoJsonIngest.Options()): PropertyGraph = {
-    val (seq, fc) = paths.partition(p =>
+    val (shp, rest) = paths.partition(_.toLowerCase.endsWith(".shp"))
+    val (seq, fc) = rest.partition(p =>
       p.endsWith(".geojsonl") || p.endsWith(".ndjson") || p.endsWith(".jsonl"))
     val parts = Seq(
       if (fc.nonEmpty) Some(graft.ingest.GeoJsonIngest.readEdges(spark, fc, opts)) else None,
-      if (seq.nonEmpty) Some(graft.ingest.GeoJsonIngest.readEdgesSeq(spark, seq, opts)) else None
+      if (seq.nonEmpty) Some(graft.ingest.GeoJsonIngest.readEdgesSeq(spark, seq, opts)) else None,
+      if (shp.nonEmpty) Some(graft.ingest.ShapefileIngest.readEdges(spark, shp, opts)) else None
     ).flatten
     // each reader numbers fids from 1; offset later parts so fids stay
     // unique across mixed-format builds

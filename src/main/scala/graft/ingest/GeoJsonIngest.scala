@@ -88,7 +88,7 @@ object GeoJsonIngest {
   private def layerCol =
     regexp_replace(element_at(split(input_file_name(), "/"), -1), "\\.[^.]*$", "")
 
-  private def propsOf(s: StructType): Seq[String] =
+  private[ingest] def propsOf(s: StructType): Seq[String] =
     s.fields.find(_.name == "properties") match {
       case Some(f) => f.dataType match {
         case p: StructType => p.fieldNames.toSeq
@@ -103,7 +103,7 @@ object GeoJsonIngest {
     * false = unique fids derived from `pos` with no shuffle (the scale
     * path; ids are sparse but keep the odd/even forward/reverse pairing).
     */
-  private def fromFeatures(feats: DataFrame, propFields: Seq[String],
+  private[ingest] def fromFeatures(feats: DataFrame, propFields: Seq[String],
       opts: Options, denseFids: Boolean = true): DataFrame = {
     val coords = col("f.geometry.coordinates").cast(ArrayType(ArrayType(DoubleType)))
     // reference drops None-valued props per-feature (io.py:16-19); columnar
