@@ -205,6 +205,138 @@ case class MinHashSig(child: Expression, numHashes: Int, shingleN: Int)
     copy(child = newChild)
 }
 
+/** Static kernels behind the ANN expressions — plain object so generated
+  * code calls the static forwarders; the centroid/codebook/table state is a
+  * small driver-built array embedded as a codegen reference object (the
+  * same state the former ScalaUDFs closed over, without the UDF plan break
+  * and boxing round-trip). Arithmetic is bit-identical to the UDFs: first
+  * maximum kept on cosine ties, strict `<` argmin for PQ codes, ascending-
+  * index folds throughout.
+  */
+object AnnKernel {
+  /** Index of the centroid with the highest cosine similarity (ties →
+    * lowest index, matching Scala maxBy).
+    */
+  def nearestCos(v: ArrayData, cents: Array[Array[Double]]): Int = {
+    var best = Double.NegativeInfinity
+    var idx = 0
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = v.numElements()
+      while (i < n) {
+        val x = v.getDouble(i); val y = cent(i)
+        d += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val s = d / java.lang.Math.sqrt(na * nb)
+      if (s > best) { best = s; idx = c }
+      c += 1
+    }
+    idx
+  }
+
+  private def l2(v: ArrayData, off: Int, b: Array[Double]): Double = {
+    var d = 0.0; var i = 0
+    while (i < b.length) { val t = v.getDouble(off + i) - b(i); d += t * t; i += 1 }
+    d
+  }
+
+  /** Product-quantization codes: per-subspace argmin L2 to the codebook
+    * (strict `<`: ties keep the lowest centroid id).
+    */
+  def pqEncode(v: ArrayData, codebook: Array[Array[Array[Double]]]): ArrayData = {
+    val m = codebook.length
+    val subDim = codebook(0)(0).length
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val cb = codebook(j)
+      var bestC = 0
+      var bestD = l2(v, j * subDim, cb(0))
+      var c = 1
+      while (c < cb.length) {
+        val d = l2(v, j * subDim, cb(c))
+        if (d < bestD) { bestC = c; bestD = d }
+        c += 1
+      }
+      codes(j) = bestC
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  /** Asymmetric-distance sum over the query's lookup table, ascending j. */
+  def pqAdist(codes: ArrayData, table: Array[Array[Double]]): Double = {
+    var s = 0.0; var j = 0
+    while (j < table.length) { s += table(j)(codes.getInt(j)); j += 1 }
+    s
+  }
+}
+
+/** IVF centroid assignment as a native expression (was a per-row ScalaUDF:
+  * the one non-codegen node in the ann_ivf_topk scan stage).
+  */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "nearest_centroid"
+
+  override protected def nullSafeEval(input: Any): Any =
+    AnnKernel.nearestCos(input.asInstanceOf[ArrayData], centroids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.AnnKernel.nearestCos($v, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
+/** PQ encode as a native expression; see [[AnnKernel.pqEncode]]. */
+case class PqEncode(child: Expression, codebook: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override protected def nullSafeEval(input: Any): Any =
+    AnnKernel.pqEncode(input.asInstanceOf[ArrayData], codebook)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebook", codebook, "double[][][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.AnnKernel.pqEncode($v, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** PQ asymmetric-distance lookup as a native expression. */
+case class PqAdist(child: Expression, table: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adist"
+
+  override protected def nullSafeEval(input: Any): Any =
+    AnnKernel.pqAdist(input.asInstanceOf[ArrayData], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("table", table, "double[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.AnnKernel.pqAdist($v, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqAdist =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(
@@ -216,4 +348,15 @@ object VectorFunctions {
   def bitAndCount(a: Column, b: Column): Column =
     ColumnBridge.column(BitAndCount(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def nearestCentroid(v: Column, centroids: Array[Array[Double]]): Column =
+    ColumnBridge.column(NearestCentroid(
+      ColumnBridge.expression(v.cast("array<double>")), centroids))
+
+  def pqEncode(v: Column, codebook: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqEncode(
+      ColumnBridge.expression(v.cast("array<double>")), codebook))
+
+  def pqAdist(codes: Column, table: Array[Array[Double]]): Column =
+    ColumnBridge.column(PqAdist(ColumnBridge.expression(codes), table))
 }

@@ -111,16 +111,16 @@ object Similarity {
       while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
       d / math.sqrt(na * nb)
     }
-    val assign = udf((v: Seq[Double]) => {
-      val arr = v.toArray
-      cents.maxBy { case (_, c) => cos(arr, c) }._1
-    })
     val probes = cents.sortBy { case (_, c) => -cos(queryVec.toArray, c) }
       .take(nProbe).map(_._1).toSeq
 
     val q = array(queryVec.map(lit): _*)
+    // centroid assignment is a native codegen'd expression (AnnKernel):
+    // the scan → assign → probe-filter → cosine stage stays one
+    // whole-stage-codegen span, no ScalaUDF plan break
     embeddings
-      .withColumn("_cid", assign(col(vecCol).cast("array<double>")))
+      .withColumn("_cid", graft.functions.VectorFunctions.nearestCentroid(
+        col(vecCol), cents.map(_._2)))
       .filter(col("_cid").isin(probes: _*))
       .select(col(idCol), cosine(col(vecCol), q).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
@@ -165,31 +165,18 @@ object Similarity {
       while (i < b.length) { val t = a(aOff + i) - b(i); d += t * t; i += 1 }
       d
     }
-    val encode = udf((v: Seq[Double]) => {
-      val arr = v.toArray
-      Array.tabulate(m) { j =>
-        var best = 0; var bestD = l2(arr, j * subDim, codebook(j)(0)); var c = 1
-        while (c < ksub) {
-          val d = l2(arr, j * subDim, codebook(j)(c))
-          if (d < bestD) { best = c; bestD = d } // strict: ties keep lowest id
-          c += 1
-        }
-        best
-      }
-    })
     // asymmetric-distance table: query subvector vs every centroid
     val qArr = queryVec.toArray
     val table: Array[Array[Double]] =
       Array.tabulate(m, ksub)((j, c) => l2(qArr, j * subDim, codebook(j)(c)))
-    val adist = udf((codes: Seq[Int]) => {
-      var s = 0.0; var j = 0
-      while (j < m) { s += table(j)(codes(j)); j += 1 } // ascending j, fixed fold
-      s
-    })
     val q = array(queryVec.map(lit): _*)
+    // encode + ADC are native codegen'd expressions (AnnKernel): strict-<
+    // argmin (ties keep lowest id) and ascending-j fold, identical to the
+    // former UDFs; the candidate stage is one codegen span over the scan
     embeddings
-      .withColumn("_codes", encode(col(vecCol).cast("array<double>")))
-      .withColumn("_ad", adist(col("_codes")))
+      .withColumn("_codes", graft.functions.VectorFunctions.pqEncode(
+        col(vecCol), codebook))
+      .withColumn("_ad", graft.functions.VectorFunctions.pqAdist(col("_codes"), table))
       .orderBy(col("_ad").asc, col(idCol))
       .limit(refine)
       .select(col(idCol), cosine(col(vecCol), q).as("sim"))

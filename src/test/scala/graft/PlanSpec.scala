@@ -86,4 +86,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("poly_hash"), s"poly_hash expression missing:\n$p")
     assert(!p.contains("UDF("), s"unexpected ScalaUDF in the LSH plan:\n$p")
   }
+
+  test("IVF assignment and PQ encode/ADC are native codegen expressions, not UDFs") {
+    val e = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val qv = e.orderBy("vec_id").limit(1)
+      .select(org.apache.spark.sql.functions.col("embedding").cast("array<double>"))
+      .head.getSeq[Double](0)
+    val ivf = plan(graft.llm.Similarity.ivfTopK(e, "vec_id", "embedding", qv, 5))
+    assert(ivf.contains("nearest_centroid"), s"nearest_centroid missing:\n$ivf")
+    assert(!ivf.contains("UDF"), s"unexpected UDF in IVF plan:\n$ivf")
+    val pq = plan(graft.llm.Similarity.pqTopK(e, "vec_id", "embedding", qv, 5))
+    assert(pq.contains("pq_encode"), s"pq_encode missing:\n$pq")
+    assert(pq.contains("pq_adist"), s"pq_adist missing:\n$pq")
+    assert(!pq.contains("UDF"), s"unexpected UDF in PQ plan:\n$pq")
+  }
 }
