@@ -118,6 +118,91 @@ class GpkgSpec extends AnyFunSuite {
     assert(nodeKeys(back.nodes) == nodeKeys(g.nodes))
   }
 
+  test("gpkg written by real SQLite with the reference's DDL imports back") {
+    // the reverse interop direction: a .gpkg produced by an actual SQLite
+    // implementation running the reference's own DDL (UNIQUE constraints →
+    // autoindex b-trees in sqlite_master, geopackage/__init__.py:114-192;
+    // ALTER TABLE ADD for _u/_v/_n, geopackagenetwork/__init__.py:60-67)
+    // must import into the same graph
+    val python = Seq("/usr/bin/python3", "/usr/local/bin/python3")
+      .find(p => Files.isExecutable(Paths.get(p)))
+    assume(python.isDefined, "python3 not available")
+    val g = PropertyGraph.fromGeoJson(spark, Seq(Fixture.path))
+    val dir = Files.createTempDirectory("graft-gpkg-ref")
+    val dataJson = dir.resolve("edges.json")
+    val esc = (s: String) => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val lines = g.edges.orderBy("fid")
+      .select(col("fid"), col("_u"), col("_v"), col("_length"),
+        to_json(col("geom.coordinates")).as("cj"))
+      .collect().map(r =>
+        s"""{"fid":${r.getLong(0)},"u":${esc(r.getString(1))},"v":${esc(r.getString(2))},""" +
+          s""""len":${r.getDouble(3)},"coords":${r.getString(4)}}""")
+    Files.writeString(dataJson, lines.mkString("\n"))
+    val gpkg = dir.resolve("ref.gpkg").toString
+    val script =
+      s"""import sqlite3, json, struct
+         |con = sqlite3.connect("$gpkg")
+         |con.execute("PRAGMA application_id = 1196444487")
+         |con.execute("PRAGMA user_version = 10200")
+         |con.execute('''CREATE TABLE gpkg_contents (table_name TEXT, data_type TEXT NOT NULL,
+         |  identifier TEXT UNIQUE, description TEXT DEFAULT '',
+         |  last_change TIMESTAMP DEFAULT CURRENT_TIMESTAMP,
+         |  min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, max_y DOUBLE, srs_id INTEGER,
+         |  PRIMARY KEY (table_name))''')
+         |con.execute('''CREATE TABLE gpkg_geometry_columns(table_name TEXT UNIQUE NOT NULL,
+         |  column_name TEXT NOT NULL, geometry_type_name TEXT NOT NULL,
+         |  srs_id INTEGER NOT NULL, z TINYINT NOT NULL, m TINYINT NOT NULL,
+         |  PRIMARY KEY (table_name, column_name))''')
+         |con.execute('''CREATE TABLE gpkg_spatial_ref_sys(srs_name TEXT NOT NULL,
+         |  srs_id INTEGER NOT NULL, organization TEXT NOT NULL,
+         |  organization_coordsys_id INTEGER NOT NULL, definition TEXT NOT NULL,
+         |  description TEXT, PRIMARY KEY (srs_id))''')
+         |con.execute("CREATE TABLE edges (fid INTEGER, geom TEXT, PRIMARY KEY (fid))")
+         |con.execute("CREATE TABLE nodes (fid INTEGER, geom TEXT, PRIMARY KEY (fid))")
+         |con.execute("ALTER TABLE nodes ADD _n TEXT")
+         |con.execute("ALTER TABLE edges ADD _u TEXT")
+         |con.execute("ALTER TABLE edges ADD _v TEXT")
+         |con.execute("ALTER TABLE edges ADD _layer TEXT")
+         |con.execute("ALTER TABLE edges ADD _length DOUBLE")
+         |con.execute("CREATE UNIQUE INDEX nodes_n_index ON nodes (_n)")
+         |con.execute("CREATE INDEX edges_u_index ON edges (_u)")
+         |con.execute("INSERT INTO gpkg_contents (table_name, data_type, identifier, srs_id) VALUES ('edges','features','edges',4326), ('nodes','features','nodes',4326)")
+         |con.execute("INSERT INTO gpkg_geometry_columns VALUES ('edges','geom','LINESTRING',4326,0,0), ('nodes','geom','POINT',4326,0,0)")
+         |con.execute("INSERT INTO gpkg_spatial_ref_sys VALUES ('WGS 84 geodetic',4326,'EPSG',4326,'GEOGCS...',NULL)")
+         |def gp(wkb):
+         |    return b"GP\\x00\\x01" + struct.pack("<i", 4326) + wkb
+         |def line(coords):
+         |    out = struct.pack("<bII", 1, 2, len(coords))
+         |    for x, y in coords: out += struct.pack("<dd", x, y)
+         |    return gp(out)
+         |def point(x, y):
+         |    return gp(struct.pack("<bI", 1, 1) + struct.pack("<dd", x, y))
+         |nodes = {}
+         |for l in open("$dataJson"):
+         |    e = json.loads(l)
+         |    con.execute("INSERT INTO edges (fid, geom, _u, _v, _layer, _length) VALUES (?,?,?,?,?,?)",
+         |        (e["fid"], line(e["coords"]), e["u"], e["v"], "star", e["len"]))
+         |    nodes[e["u"]] = tuple(e["coords"][0])
+         |    nodes[e["v"]] = tuple(e["coords"][-1])
+         |for i, (n, c) in enumerate(sorted(nodes.items()), start=1):
+         |    con.execute("INSERT INTO nodes (fid, geom, _n) VALUES (?,?,?)", (i, point(*c), n))
+         |con.commit(); con.close()
+         |print("WRITTEN")
+         |""".stripMargin
+    val proc = new ProcessBuilder(python.get, "-c", script)
+      .redirectErrorStream(true).start()
+    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+    assert(proc.waitFor() == 0 && out.contains("WRITTEN"), out)
+    val back = GeoPackageFile.importGraph(spark, gpkg)
+    assert(back.size() == 8 && back.order() == 5)
+    assert(back.dwithin(-122.3132940, 47.6598762, 0.1).count() == 2)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("_u"), col("_v"), round(col("_length"), 9).as("len"),
+        to_json(col("geom")).as("gj"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getString(3))).toSet
+    assert(key(back.edges) == key(g.edges))
+  }
+
   test("gpkg is readable by a real SQLite implementation (python3 stdlib)") {
     val python = Seq("/usr/bin/python3", "/usr/local/bin/python3")
       .find(p => Files.isExecutable(Paths.get(p)))
