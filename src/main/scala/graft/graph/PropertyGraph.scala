@@ -205,6 +205,48 @@ class PropertyGraph(val nodes: DataFrame, val edges: DataFrame,
     new PropertyGraph(nodes, out.drop(updCols.map(c => s"_upd_$c"): _*), cellDeg)
   }
 
+  // ---- per-attribute mutation (M4) ----
+  /** Set one attribute on one edge (ref `EdgeDict.__setitem__`,
+    * `graphs/digraphdb/edges.py:25-31`, which routes through
+    * `edges.update((u, v, {key: value}))`). Expressed as a conditional
+    * projection — cheaper than the batch join for a single key, and the
+    * same single narrow-dependency map stage at any scale. New keys appear
+    * as a new column (the reference's auto-ALTER), null elsewhere.
+    * Geometry must go through [[updateEdges]], which also invalidates the
+    * stored spatial columns.
+    */
+  def setEdgeAttr(u: String, v: String, key: String, value: Any): PropertyGraph = {
+    require(key != "_u" && key != "_v", s"key columns are immutable: $key")
+    require(key != "geom", "set geometry via updateEdges (spatial columns must refresh)")
+    val hit = col("_u") === u && col("_v") === v
+    val newCol = if (edges.columns.contains(key))
+      when(hit, lit(value)).otherwise(col(key)) else when(hit, lit(value))
+    new PropertyGraph(nodes, edges.withColumn(key, newCol), cellDeg)
+  }
+
+  /** Delete one attribute from one edge — nulls it, the columnar form of
+    * the reference's `__delitem__` → `{key: None}` → SQL NULL
+    * (`edges.py:33-39`).
+    */
+  def removeEdgeAttr(u: String, v: String, key: String): PropertyGraph =
+    setEdgeAttr(u, v, key, null)
+
+  /** Set one attribute on one node. The reference's `Node.__setitem__`
+    * targets `network.set_node_attr`, which is never defined
+    * (`nodes.py:140-147`, SURVEY §2.6 M4 dead-code note) — this implements
+    * the documented intent with the edge-setter's semantics.
+    */
+  def setNodeAttr(n: String, key: String, value: Any): PropertyGraph = {
+    require(key != "_n", "key column is immutable: _n")
+    val hit = col("_n") === n
+    val newCol = if (nodes.columns.contains(key))
+      when(hit, lit(value)).otherwise(col(key)) else when(hit, lit(value))
+    new PropertyGraph(nodes.withColumn(key, newCol), edges, cellDeg)
+  }
+
+  def removeNodeAttr(n: String, key: String): PropertyGraph =
+    setNodeAttr(n, key, null)
+
   // ---- memory/promotion (S10) ----
   /** Pin both tables in executor memory (ref `to_in_memory`,
     * `graphs/digraphdb/__init__.py:88-93`).
@@ -230,6 +272,10 @@ final class PropertyGraphView(nodes: DataFrame, edges: DataFrame,
   override def addEdges(newEdges: DataFrame): PropertyGraph =
     throw new UnsupportedOperationException("immutable graph view")
   override def updateEdges(updates: DataFrame): PropertyGraph =
+    throw new UnsupportedOperationException("immutable graph view")
+  override def setEdgeAttr(u: String, v: String, key: String, value: Any): PropertyGraph =
+    throw new UnsupportedOperationException("immutable graph view")
+  override def setNodeAttr(n: String, key: String, value: Any): PropertyGraph =
     throw new UnsupportedOperationException("immutable graph view")
 }
 

@@ -63,6 +63,28 @@ class PropertyGraphSpec extends AnyFunSuite {
     assert(dists.sorted.sameElements(dists))
   }
 
+  test("per-attribute mutation syncs one edge/node attr (edges.py:25-39, M4)") {
+    val (u, v) = (Fixture.TestNode2, Fixture.TestNode1)
+    // set on an existing column, only the targeted edge changes
+    val g1 = g.setEdgeAttr(u, v, "_length", 99.5)
+    assert(g1.getEdge(u, v).head.getAs[Double]("_length") == 99.5)
+    assert(g1.edges.filter(col("_length") === 99.5).count() == 1)
+    // new key auto-appears (the reference's auto-ALTER), null elsewhere
+    val g2 = g1.setEdgeAttr(u, v, "surface", "asphalt")
+    assert(g2.getEdge(u, v).head.getAs[String]("surface") == "asphalt")
+    assert(g2.edges.filter(col("surface").isNull).count() == g2.size() - 1)
+    // __delitem__ = NULL
+    val g3 = g2.removeEdgeAttr(u, v, "surface")
+    assert(g3.edges.filter(col("surface").isNotNull).isEmpty)
+    // node form
+    val g4 = g.setNodeAttr(u, "elevation", 12.25)
+    assert(g4.getNode(u).head.getAs[Double]("elevation") == 12.25)
+    assert(g4.nodes.filter(col("elevation").isNotNull).count() == 1)
+    // immutable view refuses the per-attr writers too
+    intercept[UnsupportedOperationException](g.view.setEdgeAttr(u, v, "x", 1))
+    intercept[UnsupportedOperationException](g.view.setNodeAttr(u, "x", 1))
+  }
+
   test("nodesDwithin mirrors the node-radius query (node_table.py:6-8)") {
     // only node1 itself sits within 0.1 m
     val self = g.nodesDwithin(-122.3132940, 47.6598762, 0.1, sort = true).collect()
