@@ -43,6 +43,17 @@ object GraphBenchQueries {
     "graphbuild_11300_edges" -> ((s, _) =>
       PropertyGraph.fromGeoJson(s, Seq(bulkFile)).edges
         .select("_u", "_v", "_length", "fid")),
+    // real single-file GeoPackage round trip through the byte-level SQLite
+    // writer/reader (graft.store.SqliteFile/GeoPackageFile): build 11,300
+    // edges, export .gpkg, import, return the re-read edges. Rows-only
+    // here; byte-level and real-SQLite gates live in GpkgSpec.
+    "s10_gpkg_roundtrip" -> ((s, _) => {
+      val g = PropertyGraph.fromGeoJson(s, Seq(bulkFile))
+      val out = Files.createTempDirectory("graft-gpkg-rt").resolve("g.gpkg").toString
+      graft.store.GeoPackageFile.export(g, out)
+      graft.store.GeoPackageFile.importGraph(s, out).edges
+        .select("_u", "_v", "_length", "fid").orderBy("fid")
+    }),
     "graphupdate_1000_edges" -> ((s, _) => {
       import s.implicits._
       val n = 1000

@@ -27,7 +27,8 @@ object Registry {
     (Extended13.queries, Extended13.oracleSql),
     (Extended14.queries, Extended14.oracleSql),
     (Extended15.queries, Extended15.oracleSql),
-    (Extended16.queries, Extended16.oracleSql)
+    (Extended16.queries, Extended16.oracleSql),
+    (Extended17.queries, Extended17.oracleSql)
   )
 
   def queries: Map[String, Q] = providers.map(_._1).reduce(_ ++ _)
