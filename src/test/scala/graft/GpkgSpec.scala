@@ -203,6 +203,15 @@ class GpkgSpec extends AnyFunSuite {
     assert(key(back.edges) == key(g.edges))
   }
 
+  test("a .gpkg is a build input like any OGR file (io.py:10-13 parity)") {
+    val g = PropertyGraph.fromGeoJson(spark, Seq(Fixture.path))
+    val path = tempGpkg()
+    GeoPackageFile.export(g, path)
+    val rebuilt = PropertyGraph.fromGeoJson(spark, Seq(path))
+    assert(rebuilt.size() == 8 && rebuilt.order() == 5)
+    assert(rebuilt.dwithin(-122.3132940, 47.6598762, 0.1).count() == 2)
+  }
+
   test("gpkg is readable by a real SQLite implementation (python3 stdlib)") {
     val python = Seq("/usr/bin/python3", "/usr/local/bin/python3")
       .find(p => Files.isExecutable(Paths.get(p)))
