@@ -41,8 +41,17 @@ object GeoPackageFile {
   // =============================== export ================================
 
   def export(g: PropertyGraph, path: String, srid: Int = Wkb.Srid4326): Unit = {
-    val edges = prepare(g.edges)
-    val nodes = prepare(g.nodes)
+    // export takes four actions over each frame (count + ordered stream;
+    // fid derivation may add more): pin both so the upstream build DAG
+    // computes once, not per action
+    val edges = prepare(g.edges).persist()
+    val nodes = prepare(g.nodes).persist()
+    try exportPinned(edges, nodes, path, srid)
+    finally { edges.unpersist(blocking = false); nodes.unpersist(blocking = false) }
+  }
+
+  private def exportPinned(edges: DataFrame, nodes: DataFrame,
+      path: String, srid: Int): Unit = {
     val edgeAttrs = attrColumns(edges)
     val nodeAttrs = attrColumns(nodes)
     val nEdges = edges.count()
