@@ -47,6 +47,57 @@ class RouteSpec extends AnyFunSuite {
       .contains((Seq(Fixture.TestNode1), 0.0)))
   }
 
+  test("A* with the haversine heuristic matches Dijkstra (fixture + random road grids)") {
+    // fixture: same optimal path and cost
+    val astar = Route.shortestPathAStar(g, leafWest, Fixture.TestNode1)
+    val dijk = Route.shortestPathLocal(g, leafWest, Fixture.TestNode1, "_length")
+    assert(astar == dijk)
+    assert(Route.shortestPathAStar(g, "nope", Fixture.TestNode1).isEmpty)
+    assert(Route.shortestPathAStar(g, Fixture.TestNode1, Fixture.TestNode1)
+      .contains((Seq(Fixture.TestNode1), 0.0)))
+    // random jittered grid graphs with haversine edge weights (admissible
+    // by construction): A* must equal Dijkstra on cost for every probe
+    val rnd = new scala.util.Random(7)
+    import org.apache.spark.sql.functions._
+    for (_ <- 1 to 3) {
+      val n = 6
+      val pts = (for (i <- 0 until n; j <- 0 until n) yield {
+        val lon = -122.31 + i * 0.001 + rnd.nextDouble() * 2e-4
+        val lat = 47.65 + j * 0.001 + rnd.nextDouble() * 2e-4
+        (i, j) -> (lon, lat)
+      }).toMap
+      val edges = (for {
+        i <- 0 until n; j <- 0 until n
+        (di, dj) <- Seq((1, 0), (0, 1)) if i + di < n && j + dj < n
+        if rnd.nextDouble() > 0.15 // knock out some edges: non-trivial detours
+      } yield {
+        val (lon1, lat1) = pts((i, j)); val (lon2, lat2) = pts((i + di, j + dj))
+        val w = graft.geo.Geo.haversine(lon1, lat1, lon2, lat2) *
+          (1.0 + rnd.nextDouble() * 0.3) // road factor ≥ 1 keeps h admissible
+        (s"$i,$j", s"${i + di},${j + dj}", w, lon1, lat1, lon2, lat2)
+      })
+      val both = edges ++ edges.map(e => (e._2, e._1, e._3, e._6, e._7, e._4, e._5))
+      import TestSpark.spark.implicits._
+      val eDf = both.toDF("_u", "_v", "_length", "lon1", "lat1", "lon2", "lat2")
+        .select(col("_u"), col("_v"), col("_length"))
+      val nDf = pts.toSeq.map { case ((i, j), (lon, lat)) =>
+        (s"$i,$j", lon, lat)
+      }.toDF("_n", "lon", "lat")
+        .select(col("_n"), struct(lit("Point").as("type"),
+          array(col("lon"), col("lat")).as("coordinates")).as("geom"))
+      val rg = new PropertyGraph(nDf, eDf)
+      for (_ <- 1 to 5) {
+        val a = s"${rnd.nextInt(n)},${rnd.nextInt(n)}"
+        val b = s"${rnd.nextInt(n)},${rnd.nextInt(n)}"
+        val d = Route.shortestPathLocal(rg, a, b, "_length")
+        val s = Route.shortestPathAStar(rg, a, b)
+        assert(d.isDefined == s.isDefined, s"reachability mismatch $a -> $b")
+        assert(math.abs(d.map(_._2).getOrElse(-1.0) - s.map(_._2).getOrElse(-1.0)) < 1e-9,
+          s"A* vs Dijkstra cost mismatch $a -> $b")
+      }
+    }
+  }
+
   test("multi-landmark distances agree with point-to-point Dijkstra") {
     val landmarks = Seq(leafWest, Fixture.TestNode1)
     val dists = Route.landmarkDistances(spark, g, landmarks, "_length")
