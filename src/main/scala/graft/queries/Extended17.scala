@@ -16,6 +16,19 @@ import graft.queries.OracleSql.{cosExact, dotFold}
 object Extended17 {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Drop a managed table AND its warehouse directory: the in-memory
+    * catalog is per-session but the directory outlives the JVM, and
+    * saveAsTable refuses a location it didn't create
+    * (LOCATION_ALREADY_EXISTS).
+    */
+  private[queries] def dropBucketTable(s: SparkSession, name: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val path = new org.apache.hadoop.fs.Path(wh, name)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- kNN classification: majority label of the 5 nearest neighbors ----
     // The label column makes the embeddings table a labeled corpus; the
@@ -84,6 +97,30 @@ object Extended17 {
         .orderBy("source")
     }),
 
+    // ---- bucketed co-located join ----
+    // Both sides written bucketBy(8) on the join key: the sort-merge join
+    // reads bucket i against bucket i with NO shuffle exchange (PlanSpec
+    // asserts the plan) — the physical-layout contract that makes repeated
+    // fact-dimension joins at 100 TB one-scan operations. The oracle
+    // checks the logical result; bucketing is invisible to it.
+    "s11_bucketed_join" -> ((s, d) => {
+      // the in-memory catalog forgets tables across sessions but the
+      // warehouse directory persists — clear both so the write is
+      // idempotent in any session
+      dropBucketTable(s, "bkt_customer")
+      dropBucketTable(s, "bkt_orders")
+      t(s, d, "customer").write.mode("overwrite").format("parquet")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("bkt_customer")
+      t(s, d, "orders").write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("bkt_orders")
+      s.table("bkt_customer")
+        .join(s.table("bkt_orders"), col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy("c_mktsegment")
+    }),
+
     // ---- KMV (k-minimum-values) distinct-count sketch ----
     // Estimate distinct parts per return flag from the 64 smallest
     // hash values: est = (k-1) · 2³² / h₍ₖ₎. The sketch state is k longs
@@ -143,6 +180,11 @@ object Extended17 {
          SELECT source, round(regr_slope(ln(f), ln(r)), 6) AS zipf,
            count(*) AS n_terms
          FROM ranked WHERE r <= 100 GROUP BY source ORDER BY source""",
+    "s11_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "a18_kmv_distinct" ->
       """WITH d AS (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem),
          h AS (SELECT l_returnflag,

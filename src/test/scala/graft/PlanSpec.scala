@@ -87,6 +87,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("UDF("), s"unexpected ScalaUDF in the LSH plan:\n$p")
   }
 
+  test("bucketed join reads bucket-to-bucket with no shuffle exchange") {
+    val s = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    for (tbl <- Seq("bkt_customer_plan", "bkt_orders_plan")) {
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val p = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"), tbl)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    Tables.t(s, "/root/testdata/sf0.001", "customer").write.mode("overwrite")
+      .format("parquet").bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("bkt_customer_plan")
+    Tables.t(s, "/root/testdata/sf0.001", "orders").write.mode("overwrite")
+      .format("parquet").bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("bkt_orders_plan")
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = s.table("bkt_customer_plan")
+        .join(s.table("bkt_orders_plan"), col("c_custkey") === col("o_custkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+      assert(!p.contains("Exchange"), s"bucketed join should not shuffle:\n$p")
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("IVF assignment and PQ encode/ADC are native codegen expressions, not UDFs") {
     val e = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
     val qv = e.orderBy("vec_id").limit(1)
