@@ -203,6 +203,68 @@ class GpkgSpec extends AnyFunSuite {
     assert(key(back.edges) == key(g.edges))
   }
 
+  test("unicode and exotic attribute values survive the gpkg round trip") {
+    import spark.implicits._
+    val edges = Seq(
+      ("a", "b", """quoted "name" with \ backslash""", 1.5, 7L),
+      ("b", "a", "héllo wörld — प्रीमियम 北京 🚀", -2.25, -7L),
+      ("a", "c", null.asInstanceOf[String], 0.0, 0L))
+      .toDF("_u", "_v", "note", "w", "n")
+      .withColumn("geom", org.apache.spark.sql.functions.struct(
+        org.apache.spark.sql.functions.lit("LineString").as("type"),
+        org.apache.spark.sql.functions.typedLit(
+          Seq(Seq(0.0, 0.0), Seq(1.0, 1.0))).as("coordinates")))
+    val g = new PropertyGraph(
+      graft.ingest.GeoJsonIngest.deriveNodes(edges), edges)
+    val path = tempGpkg()
+    GeoPackageFile.export(g, path)
+    val back = GeoPackageFile.importGraph(spark, path)
+    val rows = back.edges.select("_u", "_v", "note", "w", "n")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)), r.getDouble(3), r.getLong(4))).toSet
+    assert(rows == Set(
+      ("a", "b", Some("""quoted "name" with \ backslash"""), 1.5, 7L),
+      ("b", "a", Some("héllo wörld — प्रीमियम 北京 🚀"), -2.25, -7L),
+      ("a", "c", None, 0.0, 0L)))
+  }
+
+  test("an empty graph round-trips as empty feature tables") {
+    import spark.implicits._
+    val geomType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("coordinates",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_u", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_v", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("geom", geomType)))
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    val g = new PropertyGraph(
+      empty.select(org.apache.spark.sql.functions.col("_u").as("_n"),
+        org.apache.spark.sql.functions.col("geom")).limit(0), empty)
+    val path = tempGpkg()
+    GeoPackageFile.export(g, path)
+    val back = GeoPackageFile.importGraph(spark, path)
+    assert(back.size() == 0 && back.order() == 0)
+    // real SQLite still validates the file when available
+    val python = Seq("/usr/bin/python3", "/usr/local/bin/python3")
+      .find(p => Files.isExecutable(Paths.get(p)))
+    python.foreach { py =>
+      val proc = new ProcessBuilder(py, "-c",
+        s"""import sqlite3; con = sqlite3.connect("$path"); """ +
+        """ok, = con.execute("PRAGMA integrity_check").fetchone(); """ +
+        """assert ok == "ok", ok; """ +
+        """assert con.execute("SELECT count(*) FROM edges").fetchone()[0] == 0; print("OK")""")
+        .redirectErrorStream(true).start()
+      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+      assert(proc.waitFor() == 0 && out.contains("OK"), out)
+    }
+  }
+
   test("a .gpkg is a build input like any OGR file (io.py:10-13 parity)") {
     val g = PropertyGraph.fromGeoJson(spark, Seq(Fixture.path))
     val path = tempGpkg()
