@@ -25,14 +25,23 @@ object Bench {
           Window.partitionBy("k").orderBy("id")))
         .filter(col("rn") === 1).count()
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // deterministic order (queries is a hash Map — iteration order shifts
+    // whenever an entry is added, which moves the residual-warm-up cost onto
+    // different queries and manufactures phantom round-over-round
+    // regressions) + median-of-reps per query so one GC pause can't poison
+    // a number. total = sum of medians.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = Seq.fill(reps) {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.sorted.apply(reps / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // also persist verbatim: sbt wraps stdout in [info]/[success] noise, so

@@ -302,8 +302,10 @@ object Dedup {
     val ordered = (pairs: DataFrame) => pairs
       .orderBy(round(col("jaccard"), 4).desc, col("a"), col("b")).limit(k)
     // the doc-count gate runs BEFORE docBitsets: a 10⁸-doc corpus with a
-    // tiny vocab must never reach the collect at all
-    if (df.count() > maxKernelDocs)
+    // tiny vocab must never reach the collect at all. limit(gate+1).count()
+    // short-circuits the scan once gate+1 rows are seen, so small corpora
+    // don't pay a full extra pass just to prove they're small
+    if (df.limit(math.min(maxKernelDocs + 1, Int.MaxValue).toInt).count() > maxKernelDocs)
       return ordered(ngramJaccardPairsInverted(df, idCol, textCol, shingleN))
     val (docBits, vocabSize, releaseVocab) = docBitsets(df, idCol, textCol, shingleN)
     if (vocabSize == 0 || vocabSize > 65536) {

@@ -106,15 +106,22 @@ object Extended17 {
     "s11_bucketed_join" -> ((s, d) => {
       // the in-memory catalog forgets tables across sessions but the
       // warehouse directory persists — clear both so the write is
-      // idempotent in any session
-      dropBucketTable(s, "bkt_customer")
-      dropBucketTable(s, "bkt_orders")
+      // idempotent in any session. Table names are derived from the
+      // dataset path so two concurrent runs over different SFs (or a
+      // parallel bench sweep sharing a warehouse dir) can't race on a
+      // shared table.
+      val tag = java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(d) & 0xFFFFFFFFL)
+      val custTbl = s"bkt_customer_$tag"
+      val ordTbl = s"bkt_orders_$tag"
+      dropBucketTable(s, custTbl)
+      dropBucketTable(s, ordTbl)
       t(s, d, "customer").write.mode("overwrite").format("parquet")
-        .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("bkt_customer")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(custTbl)
       t(s, d, "orders").write.mode("overwrite").format("parquet")
-        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("bkt_orders")
-      s.table("bkt_customer")
-        .join(s.table("bkt_orders"), col("c_custkey") === col("o_custkey"))
+        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(ordTbl)
+      s.table(custTbl)
+        .join(s.table(ordTbl), col("c_custkey") === col("o_custkey"))
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_orders"),
           round(sum("o_totalprice"), 2).as("revenue"))

@@ -142,7 +142,12 @@ object Route {
     *                  optimality.
     */
   def shortestPathAStar(g: PropertyGraph, u: String, v: String,
-      weightCol: String = "_length"): Option[(Seq[String], Double)] = {
+      weightCol: String = "_length",
+      maxLocalEdges: Long = LocalPathMaxEdges): Option[(Seq[String], Double)] = {
+    // same gate as shortestPath: past the local bound, collecting the edge
+    // and coordinate sets would OOM the driver, so delegate to the Pregel
+    // SSSP (identical optimal answer, heuristic-free)
+    if (g.size() > maxLocalEdges) return shortestPathPregel(g, u, v, weightCol)
     if (!g.hasNode(u) || !g.hasNode(v)) return None
     if (u == v) return Some((Seq(u), 0.0))
     val adjacency = g.edges
@@ -208,6 +213,7 @@ object Route {
     val result = sssp(rg, vidMap(u))
     val reachable = result.vertices
       .filter { case (_, (d, _)) => !d.isInfinite }.cache()
+    try {
     val target = vidMap(v)
     val targetState = reachable.filter(_._1 == target).map(_._2).collect()
     if (targetState.isEmpty) return None
@@ -243,6 +249,9 @@ object Route {
     val names = rg.idOf.filter(col("_vid").isin(vids.toSeq: _*))
       .collect().map(r => r.getLong(1) -> r.getString(0)).toMap
     Some((vids.map(names).toList, totalDist))
+    // repeated point-to-point queries must not accumulate cached vertex
+    // RDDs in executor memory for the life of the session
+    } finally reachable.unpersist(blocking = false)
   }
 
   /** Weighted distances from up to 64 landmark nodes in ONE Pregel run

@@ -28,6 +28,15 @@ import scala.collection.mutable.ArrayBuffer
 object SqliteFile {
 
   val PageSize = 4096
+  /** Hard ceiling on a written database file: write() buffers every page in
+    * driver memory, so a runaway export must fail fast, not OOM. Override
+    * via -Dgraft.gpkg.maxWriteBytes for a deliberate big single-file export
+    * (read per write() call, so a long-lived session can change it).
+    */
+  val DefaultMaxWriteBytes: Long = 2L << 30
+  private def maxWriteBytes: Long =
+    sys.props.get("graft.gpkg.maxWriteBytes").map(_.toLong)
+      .getOrElse(DefaultMaxWriteBytes)
   private val Usable = PageSize // reserved-per-page = 0
   // leaf-table payload spill thresholds (fileformat2.html §B-tree Pages)
   private val MaxLeafLocal = Usable - 35
@@ -63,7 +72,20 @@ object SqliteFile {
     val pages = ArrayBuffer[Array[Byte]]()
     pages += new Array[Byte](PageSize) // page 1 placeholder (master root)
 
-    def allocate(): Int = { pages += new Array[Byte](PageSize); pages.length }
+    // the whole file is assembled in driver memory before the single write
+    // — correct for the interop artifact this is (hand a graph to QGIS),
+    // wrong for bulk export. Fail fast with a pointer at the distributed
+    // path instead of OOMing the driver halfway through.
+    val maxBytes = maxWriteBytes
+    val maxPages = maxBytes / PageSize
+    def allocate(): Int = {
+      require(pages.length < maxPages,
+        s"SqliteFile.write buffers the whole database in driver memory and " +
+          s"is capped at $maxBytes bytes (${maxPages} pages); this " +
+          "export exceeds it. Use the distributed `export-gpkg-parquet` " +
+          "path for bulk data, or raise -Dgraft.gpkg.maxWriteBytes.")
+      pages += new Array[Byte](PageSize); pages.length
+    }
 
     // ---- per-table b-trees (pages 2..), master last so rootpages are known
     val rootPages = tables.map { t =>
@@ -87,7 +109,16 @@ object SqliteFile {
         }
         cells += ((rowid, encodeRecord(recValues)))
       }
-      t.name -> buildTableBtree(cells.sortBy(_._1).toSeq, pages, allocate, rootAtPage1 = false)
+      val sorted = cells.sortBy(_._1).toSeq
+      // real SQLite treats duplicate rowids in one b-tree as a malformed
+      // database; ingest-generated fids are unique but caller-supplied
+      // frames may not be — fail loudly rather than write corruption
+      sorted.iterator.sliding(2).withPartial(false).foreach { pair =>
+        require(pair(0)._1 != pair(1)._1,
+          s"${t.name}: duplicate INTEGER PRIMARY KEY (fid/rowid) value ${pair(0)._1}; " +
+            "rowids in an SQLite table b-tree must be unique")
+      }
+      t.name -> buildTableBtree(sorted, pages, allocate, rootAtPage1 = false)
     }.toMap
 
     // ---- sqlite_master: (type, name, tbl_name, rootpage, sql) at page 1
@@ -486,7 +517,14 @@ object SqliteFile {
           r(4).asInstanceOf[String]))
     })
 
-    val tables = master.map { case (_, name, _, rootpage, sql) =>
+    // virtual tables (e.g. the rtree spatial indexes GDAL/QGIS and the
+    // reference's add_rtree step write) carry rootpage=0 and no storable
+    // rows of their own — their data lives in the rtree_*_node/parent/rowid
+    // shadow tables, which are ordinary b-trees read below. Walking page 0
+    // would wrap the buffer at a negative offset.
+    val tables = master.filter { case (_, _, _, rootpage, sql) =>
+      rootpage > 0 && !sql.toUpperCase.startsWith("CREATE VIRTUAL")
+    }.map { case (_, name, _, rootpage, sql) =>
       val (cols, rowidAlias) = parseCreateTable(sql)
       val rows = Vector.newBuilder[Array[Any]]
       walk(rootpage.toInt, (rowid, payload) => {

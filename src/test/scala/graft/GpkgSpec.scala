@@ -76,6 +76,33 @@ class GpkgSpec extends AnyFunSuite {
     assert(t.rows(0)(5).asInstanceOf[Array[Byte]].toSeq == Seq[Byte](1, 2, 1))
   }
 
+  test("duplicate rowids in a caller-supplied frame are rejected, not written") {
+    val path = tempGpkg().replace(".gpkg", ".db")
+    val rows = Seq(Seq[Any](1L, "a"), Seq[Any](1L, "b"))
+    val err = intercept[IllegalArgumentException] {
+      SqliteFile.write(path, Seq(SqliteFile.TableDef("t",
+        "CREATE TABLE t (id INTEGER PRIMARY KEY, s TEXT)", 2, rows.iterator)))
+    }
+    assert(err.getMessage.contains("t") && err.getMessage.contains("duplicate"))
+  }
+
+  test("write past the driver-memory ceiling fails fast with a clear pointer") {
+    val path = tempGpkg().replace(".gpkg", ".db")
+    val prev = sys.props.get("graft.gpkg.maxWriteBytes")
+    sys.props("graft.gpkg.maxWriteBytes") = (SqliteFile.PageSize * 4L).toString
+    try {
+      val rows = (1L to 10000L).map(i => Seq[Any](i, "x" * 100))
+      val err = intercept[IllegalArgumentException] {
+        SqliteFile.write(path, Seq(SqliteFile.TableDef("t",
+          "CREATE TABLE t (id INTEGER PRIMARY KEY, s TEXT)", 2, rows.iterator)))
+      }
+      assert(err.getMessage.contains("export-gpkg-parquet"))
+    } finally prev match {
+      case Some(v) => sys.props("graft.gpkg.maxWriteBytes") = v
+      case None => sys.props -= "graft.gpkg.maxWriteBytes"
+    }
+  }
+
   test("gpkg export: header bytes carry the GeoPackage contract") {
     val g = PropertyGraph.fromGeoJson(spark, Seq(Fixture.path))
     val path = tempGpkg()
@@ -166,6 +193,11 @@ class GpkgSpec extends AnyFunSuite {
          |con.execute("ALTER TABLE edges ADD _length DOUBLE")
          |con.execute("CREATE UNIQUE INDEX nodes_n_index ON nodes (_n)")
          |con.execute("CREATE INDEX edges_u_index ON edges (_u)")
+         |# the reference's build pipeline always adds an rtree spatial index
+         |# (build.py:39-40, feature_table.py:294): a VIRTUAL table with
+         |# rootpage=0 in sqlite_master plus its _node/_parent/_rowid shadow
+         |# b-trees — the importer must skip the virtual row, not walk page 0
+         |con.execute("CREATE VIRTUAL TABLE rtree_edges_geom USING rtree(id, minx, maxx, miny, maxy)")
          |con.execute("INSERT INTO gpkg_contents (table_name, data_type, identifier, srs_id) VALUES ('edges','features','edges',4326), ('nodes','features','nodes',4326)")
          |con.execute("INSERT INTO gpkg_geometry_columns VALUES ('edges','geom','LINESTRING',4326,0,0), ('nodes','geom','POINT',4326,0,0)")
          |con.execute("INSERT INTO gpkg_spatial_ref_sys VALUES ('WGS 84 geodetic',4326,'EPSG',4326,'GEOGCS...',NULL)")
@@ -182,6 +214,9 @@ class GpkgSpec extends AnyFunSuite {
          |    e = json.loads(l)
          |    con.execute("INSERT INTO edges (fid, geom, _u, _v, _layer, _length) VALUES (?,?,?,?,?,?)",
          |        (e["fid"], line(e["coords"]), e["u"], e["v"], "star", e["len"]))
+         |    xs = [c[0] for c in e["coords"]]; ys = [c[1] for c in e["coords"]]
+         |    con.execute("INSERT INTO rtree_edges_geom VALUES (?,?,?,?,?)",
+         |        (e["fid"], min(xs), max(xs), min(ys), max(ys)))
          |    nodes[e["u"]] = tuple(e["coords"][0])
          |    nodes[e["v"]] = tuple(e["coords"][-1])
          |for i, (n, c) in enumerate(sorted(nodes.items()), start=1):

@@ -98,6 +98,19 @@ class RouteSpec extends AnyFunSuite {
     }
   }
 
+  test("A* past the local-edge gate delegates to Pregel with the identical route") {
+    // lower the gate below the fixture's edge count: the call must take the
+    // distributed path (no driver collect of edges/coords) and still return
+    // the same optimal route and cost as the local search
+    assert(g.size() > 1)
+    val gated = Route.shortestPathAStar(g, leafWest, Fixture.TestNode1,
+      maxLocalEdges = 1)
+    val local = Route.shortestPathLocal(g, leafWest, Fixture.TestNode1, "_length")
+    assert(gated.isDefined && local.isDefined)
+    assert(gated.get._1 == local.get._1)
+    assert(math.abs(gated.get._2 - local.get._2) < 1e-9)
+  }
+
   test("multi-landmark distances agree with point-to-point Dijkstra") {
     val landmarks = Seq(leafWest, Fixture.TestNode1)
     val dists = Route.landmarkDistances(spark, g, landmarks, "_length")
