@@ -30,13 +30,25 @@ object Bench {
     // different queries and manufactures phantom round-over-round
     // regressions) + median-of-reps per query so one GC pause can't poison
     // a number. total = sum of medians.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // malformed env values fall back to the default instead of killing the run
+    val reps = scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt).getOrElse(3).max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // NOTE: each query runs `reps` times in the same session — bench
+      // queries must be idempotent across repetitions (sinks overwrite,
+      // graph updates drop+recreate). A non-idempotent query would silently
+      // measure polluted state.
       val times = Seq.fill(reps) {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      // isolate queries from each other's debris: a query that caches (or a
+      // leak we haven't found yet) must not tax every later query's median
+      // with its memory pressure — measured up to 14x inflation on
+      // late-alphabet queries before this was added
+      spark.catalog.clearCache()
+      System.gc()
       name -> times.sorted.apply(reps / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

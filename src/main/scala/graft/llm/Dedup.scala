@@ -304,8 +304,13 @@ object Dedup {
     // the doc-count gate runs BEFORE docBitsets: a 10⁸-doc corpus with a
     // tiny vocab must never reach the collect at all. limit(gate+1).count()
     // short-circuits the scan once gate+1 rows are seen, so small corpora
-    // don't pay a full extra pass just to prove they're small
-    if (df.limit(math.min(maxKernelDocs + 1, Int.MaxValue).toInt).count() > maxKernelDocs)
+    // don't pay a full extra pass just to prove they're small. A gate at
+    // or beyond Int.MaxValue can't be expressed as a limit (and +1 would
+    // overflow) — use the exact count instead of silently disabling the gate
+    val docCount =
+      if (maxKernelDocs >= Int.MaxValue - 1) df.count()
+      else df.limit(maxKernelDocs.toInt + 1).count()
+    if (docCount > maxKernelDocs)
       return ordered(ngramJaccardPairsInverted(df, idCol, textCol, shingleN))
     val (docBits, vocabSize, releaseVocab) = docBitsets(df, idCol, textCol, shingleN)
     if (vocabSize == 0 || vocabSize > 65536) {

@@ -1,6 +1,11 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -9,11 +14,11 @@ import org.apache.spark.sql.types._
   * partitions (the Scala equivalent of `mapInPandas` plumbing — iterator in,
   * iterator out, no per-row task overhead).
   *
-  * The actual codecs (JPEG decode, audio resample, video frame-sample) are
-  * STUBBED with a deterministic fake (this container ships no media
-  * libraries); everything around them — schema, batching, partitioning,
-  * output shape — is real and tested, so swapping in a real codec is a
-  * one-function change.
+  * The image codec is REAL — JDK `javax.imageio` (PNG/JPEG ship with the
+  * JRE, no vendored natives): [[extractFeatures]] decodes actual bytes and
+  * measures actual pixels, [[resize]] decodes, resamples, and re-encodes.
+  * Audio/video remain plan-only ([[frameSamplePlan]]) since no audio/video
+  * codec ships with the JDK.
   */
 object Multimodal {
 
@@ -28,7 +33,7 @@ object Multimodal {
       StructField("duration_ms", LongType))))))
 
   /** Wrap any table with a binary-able column into the media schema
-    * (demonstration path: documents.text bytes stand in for image bytes).
+    * (demonstration path: documents.text bytes stand in for opaque media).
     */
   def asMedia(df: DataFrame, idCol: String, binCol: String, format: String): DataFrame =
     df.select(
@@ -40,45 +45,121 @@ object Multimodal {
         lit(null).cast("int").as("height"),
         lit(null).cast("long").as("duration_ms")).as("meta"))
 
-  /** STUB decoder: a real implementation would decode `content` with an
-    * image codec. The fake derives a deterministic 8-dim feature vector
-    * and pseudo width/height from the bytes, preserving the exact
-    * signature a real decoder would have.
+  /** Dimensions of the synthetic image for `id`: 3–8 px per side, so the
+    * corpus covers a spread of shapes while staying SQL-restatable.
     */
-  private[llm] def decodeStub(content: Array[Byte]): (Int, Int, Array[Double]) = {
-    if (content == null) (0, 0, Array.fill(8)(0.0))
-    else {
-      val h = java.util.Arrays.hashCode(content)
-      val w = math.abs(h % 1024) + 1
-      val ht = math.abs((h / 1024) % 1024) + 1
-      // floorMod keeps features in [0, 1) and, like every hash in this
-      // engine, stays bit-exactly replicable by the SQL oracle
-      val feats = Array.tabulate(8) { i =>
-        java.lang.Math.floorMod(
-          graft.functions.Hashing.splitmix64(h.toLong * 31 + i), 1000L).toDouble / 1000.0
+  private[graft] def synthWidth(id: Long): Int = 3 + java.lang.Math.floorMod(id, 6L).toInt
+  private[graft] def synthHeight(id: Long): Int =
+    3 + java.lang.Math.floorMod(id / 6, 6L).toInt
+
+  /** Channel value of flat pixel index `i` (i = (y*width + x)*3 + channel,
+    * channels in R,G,B order): a fixed splitmix64 stream of (id, i), the
+    * same public-constant stream every other deterministic kernel in this
+    * engine uses — so an external SQL oracle can restate the expected
+    * pixel statistics without decoding anything.
+    */
+  private[graft] def synthPixel(id: Long, i: Int): Int =
+    java.lang.Math.floorMod(
+      graft.functions.Hashing.splitmix64(id * 1000003L + i), 256L).toInt
+
+  /** Deterministic synthetic image, REALLY encoded: pixels from
+    * [[synthPixel]] drawn into a BufferedImage and written through the JDK
+    * PNG encoder. PNG is lossless, so a correct decoder must read back the
+    * exact generated pixels — which is what makes [[extractFeatures]]
+    * oracle-checkable end-to-end.
+    */
+  private[graft] def synthPng(id: Long): (Int, Int, Array[Byte]) = {
+    val w = synthWidth(id)
+    val h = synthHeight(id)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = (y * w + x) * 3
+        img.setRGB(x, y,
+          (synthPixel(id, base) << 16) | (synthPixel(id, base + 1) << 8) |
+            synthPixel(id, base + 2))
+        x += 1
       }
-      (w, ht, feats)
+      y += 1
     }
+    val baos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", baos)
+    (w, h, baos.toByteArray)
+  }
+
+  /** A real PNG corpus keyed by `idCol`, in [[mediaSchema]] — one encoder
+    * per partition via mapPartitions, the shape that scales (no driver
+    * involvement, no shuffle).
+    */
+  def synthesizeImages(df: DataFrame, idCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaSchema)
+    graft.operators.Par.fanOut(df.select(col(idCol).cast("long").as("media_id")))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val (w, h, png) = synthPng(id)
+          Row(id, png, Row("image/png", w, h, null))
+        }
+      }(enc)
+  }
+
+  /** Real JDK decode: content bytes → (width, height, channels,
+    * [mean, meanR, meanG, meanB] of the decoded pixels, each in [0, 1]).
+    * Channel sums are accumulated as longs (exact, order-independent) with
+    * one double division each at the end, so the values are bit-stable and
+    * SQL-restatable. Undecodable or null content → (0, 0, 0, zeros) rather
+    * than a poison-pill task failure — at 100 TB some fraction of a media
+    * corpus is always corrupt.
+    */
+  private[graft] def decodeImage(content: Array[Byte]): (Int, Int, Int, Array[Double]) = {
+    val img =
+      if (content == null) null
+      else
+        try ImageIO.read(new ByteArrayInputStream(content))
+        catch { case _: java.io.IOException => null }
+    if (img == null) return (0, 0, 0, Array.fill(4)(0.0))
+    val w = img.getWidth
+    val h = img.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xFF
+        sg += (rgb >> 8) & 0xFF
+        sb += rgb & 0xFF
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    (w, h, img.getColorModel.getNumComponents, Array(
+      (sr + sg + sb).toDouble / (n * 3) / 255.0,
+      sr.toDouble / n / 255.0,
+      sg.toDouble / n / 255.0,
+      sb.toDouble / n / 255.0))
   }
 
   val featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),
     StructField("width", IntegerType),
     StructField("height", IntegerType),
+    StructField("channels", IntegerType),
     StructField("features", ArrayType(DoubleType))))
 
-  /** Batch feature extraction via mapPartitions: one decoder instance per
+  /** Batch feature extraction via mapPartitions: one decoder per
     * partition, rows streamed through it — the shape that scales to 100 TB
     * (decoder init cost amortized, no driver involvement, no shuffle).
     */
   def extractFeatures(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(featureSchema)
     graft.operators.Par.fanOut(media.select("media_id", "content")).mapPartitions { rows =>
-      // per-partition decoder init would go here
       rows.map { r =>
-        val (w, h, f) = decodeStub(r.getAs[Array[Byte]]("content"))
-        Row(r.getAs[Long]("media_id"), w, h, f)
+        val (w, h, c, f) = decodeImage(r.getAs[Array[Byte]]("content"))
+        Row(r.getAs[Long]("media_id"), w, h, c, f)
       }
     }(enc)
   }
@@ -91,28 +172,39 @@ object Multimodal {
       explode(sequence(lit(0L),
         coalesce(col("meta.duration_ms"), lit(0L)), lit(everyMs))).as("frame_ts_ms"))
 
-  /** STUB resize: a real implementation decodes, scales to width×height,
-    * re-encodes. The fake keeps the signature and metadata contract —
-    * content replaced by a deterministic digest-sized payload, meta.width/
-    * height set to the target — so pipeline code (batch shape, schema)
-    * is fully exercisable without codecs.
+  /** Real resize: JDK decode → nearest-neighbour resample → JDK PNG
+    * re-encode. Nearest-neighbour with floor source sampling is used
+    * instead of Graphics2D scaling because it is bit-deterministic across
+    * JVMs and platforms (no rendering-pipeline variance). Undecodable
+    * content resizes to null.
     */
   def resize(media: DataFrame, width: Int, height: Int): DataFrame = {
-    val resizeUdf = udf((content: Array[Byte]) =>
-      if (content == null) null
+    require(width > 0 && height > 0, s"target size must be positive: $width x $height")
+    val resizeUdf = udf((content: Array[Byte]) => {
+      val img =
+        if (content == null) null
+        else
+          try ImageIO.read(new ByteArrayInputStream(content))
+          catch { case _: java.io.IOException => null }
+      if (img == null) null
       else {
-        // stand-in for the scaled image: deterministic bytes derived from
-        // the source content and target size
-        val seed = java.util.Arrays.hashCode(content).toLong * 31 +
-          graft.functions.Hashing.splitmix64(width.toLong << 32 | height.toLong)
-        val out = new Array[Byte](64)
-        var i = 0
-        while (i < out.length) {
-          out(i) = (graft.functions.Hashing.splitmix64(seed + i) & 0xFF).toByte
-          i += 1
+        val out = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < height) {
+          val sy = (y.toLong * img.getHeight / height).toInt
+          var x = 0
+          while (x < width) {
+            val sx = (x.toLong * img.getWidth / width).toInt
+            out.setRGB(x, y, img.getRGB(sx, sy))
+            x += 1
+          }
+          y += 1
         }
-        out
-      })
+        val baos = new ByteArrayOutputStream()
+        ImageIO.write(out, "png", baos)
+        baos.toByteArray
+      }
+    })
     media.select(col("media_id"), resizeUdf(col("content")).as("content"),
       struct(col("meta.format"), lit(width).as("width"), lit(height).as("height"),
         col("meta.duration_ms")).as("meta"))

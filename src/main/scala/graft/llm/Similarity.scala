@@ -91,20 +91,101 @@ object Similarity {
       .limit(k)
   }
 
+  /** Deterministic distributed Lloyd refinement (spherical k-means).
+    * Seeded from the first `nCentroids` vectors by id, then `iters`
+    * iterations of: assign every vector to its most-cosine-similar
+    * centroid (the codegen'd [[graft.functions.NearestCentroid]] kernel —
+    * first-max tie-break), recompute each centroid as the per-dimension
+    * mean of its members, keep the old centroid for empty clusters.
+    *
+    * The mean is computed over FIXED-POINT values — `floor(x * 2^24)`
+    * summed as longs — because a distributed double sum is
+    * order-dependent (partial-aggregate combine order varies run to run)
+    * and would break both determinism and the bit-exact DuckDB oracle.
+    * Long sums commute; the single double division per (centroid, dim)
+    * is then identical on both engines.
+    *
+    * Each iteration is one partial-aggregated shuffle of n×dim skinny
+    * rows and a k×dim collect — the standard scale shape for Lloyd on a
+    * cluster; at 100 TB the same loop runs on a sample.
+    */
+  def trainCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, iters: Int): Array[Array[Double]] = {
+    var cents: Array[Array[Double]] = embeddings.orderBy(col(idCol))
+      .limit(nCentroids).select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    var it = 0
+    while (it < iters) {
+      val rows = embeddings
+        .select(
+          graft.functions.VectorFunctions.nearestCentroid(col(vecCol), cents).as("cid"),
+          posexplode(col(vecCol).cast("array<double>")).as(Seq("p", "x")))
+        .groupBy("cid", "p")
+        .agg(sum(floor(col("x") * lit(16777216.0))).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      rows.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) =
+          (r.getLong(2).toDouble / r.getLong(3)) / 16777216.0
+      }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
+  /** Per-subspace L2 k-means for PQ codebooks — same determinism design
+    * as [[trainCentroids]] (fixed-point means, strict-< lowest-id argmin
+    * via the codegen'd [[graft.functions.PqEncode]] kernel, empty cells
+    * keep their seed). All `m` subspaces train in the same pass: one
+    * encode + skinny-row shuffle per iteration, m×ksub×subDim collect.
+    */
+  def trainCodebook(embeddings: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, subDim: Int, iters: Int): Array[Array[Array[Double]]] = {
+    // codebook(j)(c) = subvector j of the c-th seed vector
+    val training: Array[Array[Double]] = embeddings.orderBy(col(idCol))
+      .limit(ksub).select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(training.length == ksub,
+      s"PQ needs at least ksub=$ksub training vectors, got ${training.length}")
+    var cb: Array[Array[Array[Double]]] =
+      Array.tabulate(m, ksub)((j, c) => training(c).slice(j * subDim, (j + 1) * subDim))
+    var it = 0
+    while (it < iters) {
+      val rows = embeddings
+        .select(graft.functions.VectorFunctions.pqEncode(col(vecCol), cb).as("codes"),
+          col(vecCol).cast("array<double>").as("v"))
+        .select(posexplode(col("codes")).as(Seq("j", "c")), col("v"))
+        .select(col("j"), col("c"),
+          posexplode(expr(s"slice(v, j * $subDim + 1, $subDim)")).as(Seq("p", "x")))
+        .groupBy("j", "c", "p")
+        .agg(sum(floor(col("x") * lit(16777216.0))).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cb.map(_.map(_.clone()))
+      rows.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          (r.getLong(3).toDouble / r.getLong(4)) / 16777216.0
+      }
+      cb = next
+      it += 1
+    }
+    cb
+  }
+
   /** IVF (inverted-file) ANN: vectors are assigned to their nearest
     * centroid once (a stored bucket column at scale); a query probes only
     * the `nProbe` centroids nearest to it, then runs exact cosine on that
-    * fraction of the corpus. Centroids here are the first `nCentroids`
-    * vectors by id — deterministic and oracle-friendly; k-means refinement
-    * drops in without changing the query path.
+    * fraction of the corpus. Centroids are k-means-trained by
+    * [[trainCentroids]] (`trainIters` Lloyd iterations over a
+    * deterministic first-k seed; 0 = raw seed), so buckets track the
+    * actual embedding distribution instead of the first k rows.
     */
   def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
       queryVec: Seq[Double], k: Int, nCentroids: Int = 16,
-      nProbe: Int = 4): DataFrame = {
-    val cents: Array[(Int, Array[Double])] = embeddings.orderBy(col(idCol))
-      .limit(nCentroids).select(col(vecCol).cast("array<double>"))
-      .collect().zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
+      nProbe: Int = 4, trainIters: Int = 2): DataFrame = {
+    val cents: Array[(Int, Array[Double])] =
+      trainCentroids(embeddings, idCol, vecCol, nCentroids, trainIters).zipWithIndex
+        .map { case (c, i) => (i, c) }
 
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -135,10 +216,9 @@ object Similarity {
     * At 100 TB the encode pass runs once at ingest and the scan reads
     * m bytes per vector instead of the full embedding — the candidate
     * stage is a codegen-friendly projection over a 64x smaller column.
-    * Codebooks here are the deterministic first-`ksub` vectors' subvectors
-    * (same convention as [[ivfTopK]]'s first-k centroids) so results are
-    * reproducible and the DuckDB oracle can restate them; k-means training
-    * drops in without changing the query path.
+    * Codebooks are k-means-trained by [[trainCodebook]] (`trainIters`
+    * L2-Lloyd iterations per subspace over a deterministic first-`ksub`
+    * seed; 0 = raw seed).
     *
     * Determinism contract with the oracle: centroid argmin takes the
     * LOWEST centroid id on exact ties, and both the per-subspace distance
@@ -147,18 +227,11 @@ object Similarity {
     */
   def pqTopK(embeddings: DataFrame, idCol: String, vecCol: String,
       queryVec: Seq[Double], k: Int, m: Int = 8, ksub: Int = 16,
-      refine: Int = 50): DataFrame = {
+      refine: Int = 50, trainIters: Int = 2): DataFrame = {
     val dim = queryVec.length
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val subDim = dim / m
-    // codebook(j)(c) = subvector j of the c-th training vector
-    val training: Array[Array[Double]] = embeddings.orderBy(col(idCol))
-      .limit(ksub).select(col(vecCol).cast("array<double>"))
-      .collect().map(_.getSeq[Double](0).toArray)
-    require(training.length == ksub,
-      s"PQ needs at least ksub=$ksub training vectors, got ${training.length}")
-    val codebook: Array[Array[Array[Double]]] =
-      Array.tabulate(m, ksub)((j, c) => training(c).slice(j * subDim, (j + 1) * subDim))
+    val codebook = trainCodebook(embeddings, idCol, vecCol, m, ksub, subDim, trainIters)
 
     def l2(a: Array[Double], aOff: Int, b: Array[Double]): Double = {
       var d = 0.0; var i = 0

@@ -37,6 +37,10 @@ object Extended17 {
     // tie-breaks (count desc, label asc) — fully deterministic. The
     // broadcast query side keeps the scan one codegen pass; at corpus
     // scale the same plan runs per-batch with the kNN-join operator.
+    // Top-5 goes through the bounded-heap GroupTopK physical op (as j11
+    // does): the shuffle carries at most 5 rows per query per map
+    // partition, vs the window form's full sort of every scored pair. The
+    // vote is a partial-aggregable min(struct) argmax — no window at all.
     "g9_knn_classify" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       val q = e.filter(col("vec_id") < 10)
@@ -46,15 +50,12 @@ object Extended17 {
       val scored = v.crossJoin(broadcast(q))
         .select(col("qid"), col("vec_id"), col("label"),
           Similarity.cosine(col("ev"), col("qv")).as("sim"))
-      val top5 = scored
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))))
-        .filter(col("rk") <= 5)
+      val top5 = graft.plans.GroupTopK.topK(
+        scored, Seq("qid"), Seq(("sim", false), ("vec_id", true)), 5)
       top5.groupBy("qid", "label").agg(count(lit(1)).as("c"))
-        .withColumn("vr", row_number().over(
-          Window.partitionBy("qid").orderBy(col("c").desc, col("label"))))
-        .filter(col("vr") === 1)
-        .select(col("qid"), col("label").as("pred"))
+        .groupBy("qid")
+        .agg(min(struct((-col("c")).as("nc"), col("label"))).as("m"))
+        .select(col("qid"), col("m.label").as("pred"))
         .orderBy("qid")
     }),
 

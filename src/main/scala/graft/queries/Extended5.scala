@@ -27,12 +27,16 @@ object Extended5 {
       orders.createOrReplaceTempView("v_orders")
       // materialize the successor relation once: inlined as a CTE it would
       // be re-derived (window included) on every recursive step — measured
-      // 7x slower at sf0.1 over ~24 iterations
+      // 7x slower at sf0.1 over ~24 iterations. localCheckpoint (eager)
+      // rather than cache(): the blocks are released by the ContextCleaner
+      // as soon as this plan is unreachable, whereas a cache() here leaked
+      // one catalog-cache entry per invocation for the life of the session
+      // (each call builds a fresh plan, so unpersist never matched).
       val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
       orders.select(col("o_custkey"), col("o_orderkey"),
           lead("o_orderkey", 1).over(w).as("nxt"))
         .filter(col("nxt").isNotNull)
-        .cache()
+        .localCheckpoint(true)
         .createOrReplaceTempView("v_order_edges")
       s.sql("""
         WITH RECURSIVE walk AS (

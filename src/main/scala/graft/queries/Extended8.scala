@@ -42,10 +42,12 @@ object Extended8 {
     }),
 
     // ---- product-quantization ANN: encode -> table scan -> exact re-rank ----
-    // Completes the ANN family (brute / LSH / IVF / PQ). The oracle
-    // restates the deterministic first-16 codebooks, the lowest-id-on-tie
-    // argmin encode, and the ascending-order distance folds, so every
-    // double is bit-identical through the candidate boundary.
+    // Completes the ANN family (brute / LSH / IVF / PQ). Codebooks are
+    // k-means-trained (two deterministic distributed Lloyd iterations per
+    // subspace, fixed-point means). The oracle restates the training, the
+    // lowest-id-on-tie argmin encode, and the ascending-order distance
+    // folds, so every double is bit-identical through the candidate
+    // boundary.
     "ann_pq_topk" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       val qv = e.filter(col("vec_id") === 0)
@@ -76,37 +78,58 @@ object Extended8 {
          ORDER BY l_returnflag""",
     "ann_pq_topk" -> {
       import OracleSql.cosExact
-      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+      // d2 between subvector j of `vec` and an 8-element codebook entry
+      // `sv` — ascending-i fold, (a-b)*(a-b), identical to AnnKernel.l2
+      def d2(vec: String) =
+        s"""list_reduce(list_transform(range(1, 9),
+               i -> ($vec[j*8+i] - sv[i]) * ($vec[j*8+i] - sv[i])),
+               (a, b) -> a + b)"""
+      // one per-subspace L2 Lloyd iteration (Similarity.trainCodebook):
+      // strict-< lowest-cid argmin assignment, fixed-point per-dimension
+      // means (floor(x*2^24) summed as BIGINT — commutes, so the
+      // distributed sum matches bit-for-bit), empty cells keep their seed
+      def lloyd(prev: String, enc: String, upd: String, next: String) =
+        s"""$enc AS (SELECT vec_id, j, cid FROM (
+               SELECT vec_id, j, cid,
+                 row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) AS rn
+               FROM (SELECT vec_id, j, cid, ${d2("ev")} AS d2
+                     FROM v CROSS JOIN $prev)) WHERE rn = 1),
+         $upd AS (SELECT j, cid, p,
+               CAST(sum(CAST(floor(ev[j*8+p] * 16777216) AS BIGINT)) AS DOUBLE)
+                 / count(*) / 16777216.0 AS svp
+             FROM $enc JOIN v USING (vec_id), range(1, 9) AS r(p)
+             GROUP BY j, cid, p),
+         $next AS (SELECT $prev.j, $prev.cid, coalesce(u.sv, $prev.sv) AS sv
+             FROM $prev LEFT JOIN (
+               SELECT j, cid, list(svp ORDER BY p) AS sv FROM $upd
+               GROUP BY j, cid) u
+             USING (j, cid))"""
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
                     FROM embeddings WHERE vec_id = 0),
          v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
                FROM embeddings WHERE vec_id <> 0),
          tr AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, ev AS cv
                 FROM (SELECT vec_id, ev FROM v ORDER BY vec_id LIMIT 16)),
          subs AS (SELECT unnest(range(0, 8)) AS j),
-         vd AS (
-           SELECT vec_id, j, cid,
-             list_reduce(list_transform(range(1, 9),
-               i -> (ev[j*8+i] - cv[j*8+i]) * (ev[j*8+i] - cv[j*8+i])),
-               (a, b) -> a + b) AS d2
-           FROM v CROSS JOIN subs CROSS JOIN tr),
+         cb0 AS (SELECT j, cid, cv[j*8+1:(j+1)*8] AS sv
+                 FROM tr CROSS JOIN subs),
+         ${lloyd("cb0", "e0", "u0", "cb1")},
+         ${lloyd("cb1", "e1", "u1", "cb2")},
          enc AS (
            SELECT vec_id, j, cid FROM (
              SELECT vec_id, j, cid,
                row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) AS rn
-             FROM vd)
+             FROM (SELECT vec_id, j, cid, ${d2("ev")} AS d2
+                   FROM v CROSS JOIN cb2))
            WHERE rn = 1),
          qd AS (
-           SELECT j, cid,
-             list_reduce(list_transform(range(1, 9),
-               i -> (qv[j*8+i] - cv[j*8+i]) * (qv[j*8+i] - cv[j*8+i])),
-               (a, b) -> a + b) AS d2
-           FROM q CROSS JOIN subs CROSS JOIN tr),
+           SELECT j, cid, ${d2("qv")} AS d2
+           FROM q CROSS JOIN cb2),
          ad AS (
            SELECT e.vec_id, list_reduce(list(t.d2 ORDER BY e.j), (a, b) -> a + b) AS ad
            FROM enc e JOIN qd t ON e.j = t.j AND e.cid = t.cid
            GROUP BY e.vec_id),
-         cand AS (SELECT vec_id FROM ad ORDER BY ad, vec_id LIMIT 50)""" +
-        s"""
+         cand AS (SELECT vec_id FROM ad ORDER BY ad, vec_id LIMIT 50)
          SELECT v.vec_id, round(${cosExact("ev", "qv")}, 4) AS sim
          FROM v JOIN cand USING (vec_id) CROSS JOIN q
          ORDER BY ${cosExact("ev", "qv")} DESC, v.vec_id LIMIT 10"""

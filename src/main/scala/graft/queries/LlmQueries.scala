@@ -102,18 +102,27 @@ object LlmQueries {
         .select(col("vec_id"), round(col("sim"), 4).as("sim"))
     }),
 
-    // ---- multimodal plumbing (decode stubbed; schema/batching real) ----
+    // ---- multimodal: real JDK PNG codec; schema/batching distributed ----
     "mm1_media_meta" -> ((s, d) => {
       val media = Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text", "text/plain")
       media.select(col("media_id"), octet_length(col("content")).as("byte_len"),
         sha2(col("content"), 256).as("sha"), col("meta.format").as("format"))
         .orderBy("media_id")
     }),
+    // REAL decode: a deterministic PNG per document (pixels from the
+    // public splitmix64 stream) is encoded through javax.imageio, then
+    // decoded back by extractFeatures, which measures the actual pixels.
+    // PNG is lossless, so the decoded channel means must equal the means
+    // of the generation stream — which is exactly what the oracle computes
+    // from doc_id alone. A wrong decoder (or a stub) cannot match it.
     "mm2_decode_features" -> ((s, d) => {
-      val media = Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text", "image/fake")
+      val media = Multimodal.synthesizeImages(t(s, d, "documents"), "doc_id")
       Multimodal.extractFeatures(media)
-        .select(col("media_id"), col("width"), col("height"),
-          round(element_at(col("features"), 1), 4).as("f0"))
+        .select(col("media_id"), col("width"), col("height"), col("channels"),
+          round(element_at(col("features"), 1), 4).as("f_all"),
+          round(element_at(col("features"), 2), 4).as("f_r"),
+          round(element_at(col("features"), 3), 4).as("f_g"),
+          round(element_at(col("features"), 4), 4).as("f_b"))
         .orderBy("media_id")
     }),
     "mm3_frame_plan" -> ((s, d) => {
@@ -360,20 +369,45 @@ object LlmQueries {
          WHERE bit_count(xor(sig, qsig)) <= 6
          ORDER BY ${cosExact("ev", "qv")} DESC, vec_id LIMIT 10"""
     },
-    // IVF ANN replicated: centroids = first 16 vectors by id, assignment =
-    // argmax cosine (exact-fold d/sqrt(na*nb), first-max tie-break), probe
-    // the 6 centroids nearest the query, exact cosine on the probed subset
+    // IVF ANN replicated, including the k-means training: seed = first 16
+    // vectors by id, then TWO Lloyd iterations (Similarity.trainCentroids
+    // with trainIters = 2) — assignment = argmax cosine (exact-fold
+    // d/sqrt(na*nb), first-max tie-break), update = per-dimension mean of
+    // FIXED-POINT values (floor(x*2^24) summed as BIGINT: long sums
+    // commute, so the distributed Spark sum and this sequential sum agree
+    // bit-for-bit; one double division after), empty clusters keep their
+    // previous centroid. Query path: probe the 6 trained centroids nearest
+    // the query, exact cosine on the probed subset.
     "ann_ivf_topk" -> {
       def cosF(a: String, b: String) =
         s"${dotFold(a, b)} / sqrt(${dotFold(a, a)} * ${dotFold(b, b)})"
+      // one Lloyd iteration: prev centroids -> assignment -> fixed-point
+      // per-dimension means -> next centroids
+      def lloyd(prev: String, asn: String, upd: String, next: String) =
+        s"""$asn AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+               FROM (SELECT vec_id, cid, ${cosF("ev", "cv")} AS cs
+                     FROM v CROSS JOIN $prev)) WHERE rn = 1),
+         $upd AS (SELECT cid, p,
+               CAST(sum(CAST(floor(ev[p] * 16777216) AS BIGINT)) AS DOUBLE)
+                 / count(*) / 16777216.0 AS cvp
+             FROM v JOIN $asn USING (vec_id), range(1, 65) AS r(p)
+             GROUP BY cid, p),
+         $next AS (SELECT $prev.cid, coalesce(u.cv, $prev.cv) AS cv
+             FROM $prev LEFT JOIN (
+               SELECT cid, list(cvp ORDER BY p) AS cv FROM $upd GROUP BY cid) u
+             USING (cid))"""
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
                      FROM embeddings WHERE vec_id <> 0),
          q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
                FROM embeddings WHERE vec_id = 0),
-         c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, ev AS cv
+         c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, ev AS cv
                FROM (SELECT * FROM v ORDER BY vec_id LIMIT 16)),
+         ${lloyd("c0", "a0", "u0", "c1")},
+         ${lloyd("c1", "a1", "u1", "c2")},
          ac AS (SELECT vec_id, cid, ${cosF("ev", "cv")} AS cs
-                FROM v CROSS JOIN c),
+                FROM v CROSS JOIN c2),
          asn AS (SELECT vec_id, cid FROM (
                    SELECT vec_id, cid, row_number() OVER (
                      PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn FROM ac)
@@ -381,7 +415,7 @@ object LlmQueries {
          pr AS (SELECT cid FROM (
                   SELECT cid, row_number() OVER (
                     ORDER BY ${cosF("qv", "cv")} DESC, cid) AS rn
-                  FROM c CROSS JOIN q)
+                  FROM c2 CROSS JOIN q)
                 WHERE rn <= 6)
          SELECT v.vec_id, round(list_cosine_similarity(ev, qv), 4) AS sim
          FROM v JOIN asn USING (vec_id) CROSS JOIN q
@@ -411,29 +445,33 @@ object LlmQueries {
       """SELECT doc_id AS media_id, octet_length(CAST(text AS BLOB)) AS byte_len,
          sha256(text) AS sha, 'text/plain' AS format
          FROM documents ORDER BY media_id""",
-    // The deterministic decode stub replicated bit-exactly: Java
-    // Arrays.hashCode over the content bytes (int wraparound, emulated mod
-    // 2^32 — the corpus is ASCII so byte == codepoint), then width/height
-    // from truncating div/mod and f0 = floorMod(splitmix64(h*31), 1000)/1000
-    "mm2_decode_features" ->
-      s"""WITH hh AS (
-           SELECT doc_id,
-             list_reduce(list_prepend(1::HUGEINT,
-               list_transform(range(1, length(text)+1), i -> unicode(text[i:i])::HUGEINT)),
-               (a,b) -> (31*a+b) % 4294967296) AS hu
+    // The REAL decode checked from first principles: the engine encodes
+    // pixels v(i) = splitmix64(doc_id*1000003 + i) mod 256 into an actual
+    // PNG and decodes it back with javax.imageio; PNG is lossless, so the
+    // decoded channel means must equal the means of that generation
+    // stream — restated here with no image codec at all. Channel c of
+    // pixel p is flat index p*3+c (R,G,B order), i.e. 1-based list
+    // position i with (i-1)%3 = c. Sums are exact integers on both
+    // engines; one double division each matches bit-for-bit.
+    "mm2_decode_features" -> {
+      val seeds = "list_transform(range(0, w*h*3), i -> (doc_id*1000003 + i)::HUGEINT)"
+      def chanSum(c: Int) =
+        s"list_aggregate([vals[i] FOR i IN range(1, len(vals)+1) IF (i-1)%3 = $c], 'sum')"
+      s"""WITH d AS (
+           SELECT doc_id, 3 + (doc_id % 6) AS w, 3 + ((doc_id // 6) % 6) AS h
            FROM documents),
-         hs AS (
-           SELECT doc_id,
-             (CASE WHEN hu >= 2147483648 THEN hu - 4294967296 ELSE hu END)::BIGINT AS h
-           FROM hh),
-         sm AS (
-           SELECT doc_id, h, (${splitmixList(s"[${toUnsigned("(h*31)")}]")})[1] AS f0u
-           FROM hs)
-         SELECT doc_id AS media_id,
-           (abs(h % 1024) + 1)::INT AS width,
-           (abs((h // 1024) % 1024) + 1)::INT AS height,
-           round(((${toSigned("f0u")} % 1000 + 1000) % 1000) / 1000.0, 4) AS f0
-         FROM sm ORDER BY media_id""",
+         px AS (
+           SELECT doc_id, w, h,
+             list_transform(${splitmixList(seeds)}, z -> z % 256) AS vals
+           FROM d)
+         SELECT doc_id AS media_id, w::INT AS width, h::INT AS height,
+           3 AS channels,
+           round(CAST(list_aggregate(vals, 'sum') AS DOUBLE) / (w*h*3) / 255.0, 4) AS f_all,
+           round(CAST(${chanSum(0)} AS DOUBLE) / (w*h) / 255.0, 4) AS f_r,
+           round(CAST(${chanSum(1)} AS DOUBLE) / (w*h) / 255.0, 4) AS f_g,
+           round(CAST(${chanSum(2)} AS DOUBLE) / (w*h) / 255.0, 4) AS f_b
+         FROM px ORDER BY media_id"""
+    },
     "mm3_frame_plan" ->
       """SELECT doc_id AS media_id,
            unnest(generate_series(0, octet_length(CAST(text AS BLOB)) * 10, 500)) AS frame_ts_ms

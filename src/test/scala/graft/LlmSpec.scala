@@ -183,27 +183,51 @@ class LlmSpec extends AnyFunSuite {
     assert(rows(2) <= 0.3)
   }
 
-  test("multimodal: batch feature extraction preserves ids and shapes; frame plan counts") {
-    val media = Multimodal.asMedia(docs, "doc_id", "text", "image/fake")
+  test("multimodal: real PNG encode/decode roundtrip, frame plan, resize") {
+    val media = Multimodal.synthesizeImages(docs, "doc_id")
     val feats = Multimodal.extractFeatures(media).collect()
     assert(feats.length == 5)
-    assert(feats.forall(r => r.getSeq[Double](r.fieldIndex("features")).length == 8))
     assert(feats.map(_.getAs[Long]("media_id")).toSet == Set(1L, 2L, 3L, 4L, 5L))
-    // identical content → identical features (deterministic stub)
-    val byId = feats.map(r =>
-      r.getAs[Long]("media_id") -> r.getSeq[Double](r.fieldIndex("features"))).toMap
-    assert(byId(1L) == byId(2L))
+    feats.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val w = Multimodal.synthWidth(id)
+      val h = Multimodal.synthHeight(id)
+      // real decode: dimensions and channel count come from the decoded
+      // image, and PNG being lossless the decoded channel means must
+      // EXACTLY equal the means of the generation stream — a stub or a
+      // lossy roundtrip cannot satisfy this
+      assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
+      assert(r.getAs[Int]("channels") == 3)
+      val f = r.getSeq[Double](r.fieldIndex("features"))
+      assert(f.length == 4)
+      val vals = Array.tabulate(w * h * 3)(i => Multimodal.synthPixel(id, i).toLong)
+      val n = (w * h).toLong
+      assert(f(0) == vals.sum.toDouble / (n * 3) / 255.0)
+      assert(f(1) == vals.indices.filter(_ % 3 == 0).map(vals).sum.toDouble / n / 255.0)
+      assert(f(3) == vals.indices.filter(_ % 3 == 2).map(vals).sum.toDouble / n / 255.0)
+    }
+    // undecodable bytes degrade to a zero row, not a task failure
+    val textMedia = Multimodal.asMedia(docs, "doc_id", "text", "text/plain")
+    assert(Multimodal.extractFeatures(textMedia).collect()
+      .forall(r => r.getAs[Int]("width") == 0 && r.getAs[Int]("channels") == 0))
+
     val withDur = media.withColumn("meta", struct(col("meta.format"),
       col("meta.width"), col("meta.height"), lit(2000L).as("duration_ms")))
     val frames = Multimodal.frameSamplePlan(withDur, 500L)
     assert(frames.count() == 5 * 5) // 0,500,1000,1500,2000 per doc
 
-    // resize stub: metadata contract + deterministic output per input
-    val resized = Multimodal.resize(media, 224, 224).collect()
-    assert(resized.forall(r => r.getStruct(r.fieldIndex("meta")).getInt(1) == 224))
-    val byContent = resized.map(r => r.getAs[Long]("media_id") ->
-      r.getAs[Array[Byte]]("content").toSeq).toMap
-    assert(byContent(1L) == byContent(2L)) // same source bytes → same resize
-    assert(byContent(1L) != byContent(4L))
+    // real resize: output decodes to the target size; nearest-neighbour
+    // sampling is deterministic, so repeated runs byte-match
+    val resized = Multimodal.resize(media, 4, 4).collect()
+    assert(resized.forall(r => r.getStruct(r.fieldIndex("meta")).getInt(1) == 4))
+    resized.foreach { r =>
+      val (w, h, c, _) = Multimodal.decodeImage(r.getAs[Array[Byte]]("content"))
+      assert(w == 4 && h == 4 && c == 3)
+    }
+    val again = Multimodal.resize(media, 4, 4).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Array[Byte]]("content").toSeq).toMap
+    resized.foreach { r =>
+      assert(again(r.getAs[Long]("media_id")) == r.getAs[Array[Byte]]("content").toSeq)
+    }
   }
 }
