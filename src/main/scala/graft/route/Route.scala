@@ -328,4 +328,187 @@ object Route {
     val ranksDf = ranks.toDF("_vid", "rank")
     idOf.join(ranksDf, "_vid").select("_n", "rank")
   }
+
+  /** Betweenness centrality (weighted Brandes) accumulated over the given
+    * source set — the last of the reference's "centrality metrics"
+    * (`README.md:66-68`) next to [[closeness]] and [[pageRank]].
+    *
+    * Pass every node as a source for the exact measure; at scale pass a
+    * landmark sample of k sources (the standard estimator: scores scale
+    * by n/k in expectation, and ranking — the question betweenness
+    * answers — stabilizes long before the absolute values do).
+    *
+    * Per source, two distributed fixpoint phases over the GraphX graph,
+    * Bellman–Ford-with-recount style: every round each vertex recomputes
+    * its state purely from its in-neighbor (phase 1) or out-neighbor
+    * (phase 2) states, so shortest-path counts are never double-
+    * accumulated across rounds. Phase 1 converges to (dist σ) in
+    * O(hop-depth) rounds; phase 2 folds the dependency values δ back up
+    * the shortest-path DAG (δ(v) = Σ_{w: succ} σv/σw · (1+δw)) in
+    * O(DAG-depth) rounds. `maxIters` guards pathological zero-weight
+    * cycles, where the shortest-path DAG is not acyclic.
+    *
+    * Equal-cost path ties are counted when `dist(u) + w(u,v)` compares
+    * bit-equal to `dist(v)` — both sides are produced by the identical
+    * IEEE additions, so the canonical predecessors always match; a
+    * detour that merely rounds to the same cost does not.
+    */
+  def betweenness(spark: SparkSession, g: PropertyGraph, sources: Seq[String],
+      weightCol: String, maxIters: Int = 200): DataFrame = {
+    require(sources.nonEmpty, "at least one source node")
+    val rg = fromPropertyGraph(g, weightCol)
+    val srcVids = rg.idOf.filter(col("_n").isin(sources.distinct: _*))
+      .collect().map(_.getLong(1))
+    require(srcVids.length == sources.distinct.length,
+      s"unknown source node(s) among: ${sources.distinct.mkString(", ")}")
+    val base = rg.graph.cache()
+    val sc = spark.sparkContext
+    try {
+      // fold per-source dependency scores into one running (vid, score)
+      // RDD, materialized each step so at most two live at once
+      var acc: org.apache.spark.rdd.RDD[(VertexId, Double)] = null
+      srcVids.sorted.foreach { s =>
+        val d = brandesDeltas(base, s, maxIters)
+        val next =
+          (if (acc == null) d else acc.union(d).reduceByKey(_ + _)).cache()
+        next.count()
+        if (acc != null) acc.unpersist(blocking = false)
+        d.unpersist(blocking = false)
+        acc = next
+      }
+      // truncate the per-source lineage chain; blocks are released by the
+      // ContextCleaner once the result is unreachable
+      acc.localCheckpoint()
+      acc.count()
+      import spark.implicits._
+      val scores = acc.toDF("_vid", "betweenness")
+      rg.idOf.join(scores, Seq("_vid"), "left")
+        .select(col("_n"),
+          coalesce(col("betweenness"), lit(0.0)).as("betweenness"))
+    } finally base.unpersist(blocking = false)
+  }
+
+  /** One Brandes source: forward (dist, σ) fixpoint, then backward δ
+    * fixpoint; returns the non-zero per-vertex dependency scores, cached
+    * and materialized. Mirrors Pregel's iteration hygiene (previous
+    * round's vertices unpersisted each step).
+    */
+  private def brandesDeltas(graph: GXGraph[String, Double], s: VertexId,
+      maxIters: Int): org.apache.spark.rdd.RDD[(VertexId, Double)] = {
+    // ---- phase 1: dist + path count σ ----
+    var fw: GXGraph[(Double, Double), Double] = graph.mapVertices((vid, _) =>
+      if (vid == s) (0.0, 1.0) else (Double.PositiveInfinity, 0.0)).cache()
+    var iter = 0
+    var changed = true
+    while (changed && iter < maxIters) {
+      val msgs = fw.aggregateMessages[(Double, Double)](
+        ctx => if (!ctx.srcAttr._1.isInfinite)
+          ctx.sendToDst((ctx.srcAttr._1 + ctx.attr, ctx.srcAttr._2)),
+        (a, b) =>
+          if (a._1 < b._1) a else if (b._1 < a._1) b else (a._1, a._2 + b._2))
+      val next = fw.outerJoinVertices(msgs) { (vid, _, m) =>
+        if (vid == s) (0.0, 1.0) else m.getOrElse((Double.PositiveInfinity, 0.0))
+      }.cache()
+      changed = next.vertices.join(fw.vertices)
+        .filter { case (_, (a, b)) => a != b }.count() > 0
+      fw.unpersistVertices(blocking = false)
+      fw.edges.unpersist(blocking = false)
+      fw = next
+      iter += 1
+    }
+    // ---- phase 2: dependency δ back up the shortest-path DAG ----
+    var bw: GXGraph[((Double, Double), Double), Double] =
+      fw.mapVertices((_, ds) => (ds, 0.0)).cache()
+    changed = true
+    iter = 0
+    while (changed && iter < maxIters) {
+      val msgs = bw.aggregateMessages[Double](
+        ctx => {
+          val (sd, ssig) = ctx.srcAttr._1
+          val (dd, dsig) = ctx.dstAttr._1
+          if (!sd.isInfinite && !dd.isInfinite && dsig > 0 && sd + ctx.attr == dd)
+            ctx.sendToSrc(ssig / dsig * (1.0 + ctx.dstAttr._2))
+        },
+        _ + _)
+      val next = bw.outerJoinVertices(msgs)((_, old, m) =>
+        (old._1, m.getOrElse(0.0))).cache()
+      changed = next.vertices.join(bw.vertices)
+        .filter { case (_, (a, b)) => a._2 != b._2 }.count() > 0
+      bw.unpersistVertices(blocking = false)
+      bw.edges.unpersist(blocking = false)
+      bw = next
+      iter += 1
+    }
+    val deltas = bw.vertices
+      .filter { case (vid, (_, delta)) => vid != s && delta != 0.0 }
+      .mapValues { case (_, delta) => delta }.cache()
+    deltas.count()
+    fw.unpersistVertices(blocking = false)
+    fw.edges.unpersist(blocking = false)
+    bw.unpersistVertices(blocking = false)
+    bw.edges.unpersist(blocking = false)
+    deltas
+  }
+
+  /** Driver-side exact Brandes over a collected adjacency list — the
+    * interactive path for gated graph sizes (mirrors
+    * [[shortestPathLocal]]'s dispatch philosophy) and the independent
+    * reference implementation the distributed fixpoint is tested against.
+    * Returns every node (zeros included).
+    */
+  def betweennessLocal(g: PropertyGraph, weightCol: String,
+      sources: Option[Seq[String]] = None): Map[String, Double] = {
+    require(g.size() <= LocalPathMaxEdges,
+      s"graph exceeds $LocalPathMaxEdges edges; use betweenness() (distributed)")
+    val adjacency = g.edges
+      .filter(col(weightCol).isNotNull)
+      .select(col("_u"), col("_v"), col(weightCol).cast("double"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rows) => k -> rows.map(r => (r.getString(1), r.getDouble(2))) }
+    val nodes = g.nodes.select("_n").collect().map(_.getString(0)).toSeq
+    val bc = scala.collection.mutable.HashMap[String, Double]()
+    nodes.foreach(n => bc(n) = 0.0)
+    sources.getOrElse(nodes).distinct.foreach { s =>
+      val dist = scala.collection.mutable.HashMap[String, Double]()
+      val sigma = scala.collection.mutable.HashMap[String, Double]()
+      val preds = scala.collection.mutable.HashMap[String,
+        scala.collection.mutable.ListBuffer[String]]()
+      val settled = scala.collection.mutable.ListBuffer[String]()
+      val done = scala.collection.mutable.HashSet[String]()
+      val pq = scala.collection.mutable.PriorityQueue[(Double, String)]()(
+        Ordering.by[(Double, String), Double](_._1).reverse)
+      dist(s) = 0.0; sigma(s) = 1.0
+      pq.enqueue((0.0, s))
+      while (pq.nonEmpty) {
+        val (d, v) = pq.dequeue()
+        if (!done.contains(v)) {
+          done += v
+          settled += v
+          adjacency.getOrElse(v, Array.empty).foreach { case (w, wt) =>
+            val nd = d + wt
+            val old = dist.getOrElse(w, Double.PositiveInfinity)
+            if (nd < old) {
+              dist(w) = nd
+              sigma(w) = sigma(v)
+              preds(w) = scala.collection.mutable.ListBuffer(v)
+              pq.enqueue((nd, w))
+            } else if (nd == old) {
+              sigma(w) += sigma(v)
+              preds(w) += v
+            }
+          }
+        }
+      }
+      val delta = scala.collection.mutable.HashMap[String, Double]()
+      settled.reverseIterator.foreach { w =>
+        preds.getOrElse(w, Nil).foreach { v =>
+          delta(v) = delta.getOrElse(v, 0.0) +
+            sigma(v) / sigma(w) * (1.0 + delta.getOrElse(w, 0.0))
+        }
+        if (w != s) bc(w) = bc.getOrElse(w, 0.0) + delta.getOrElse(w, 0.0)
+      }
+    }
+    bc.toMap
+  }
 }

@@ -30,6 +30,28 @@ class Extended5Spec extends AnyFunSuite {
       s"expected a recursive execution node in:\n$plan")
   }
 
+  test("variant-at-ingest: stored VARIANT column answers e14 identically, parse-free") {
+    val out = java.nio.file.Files.createTempDirectory("variant_ingest").toString
+    try {
+      graft.ingest.VariantIngest
+        .parseAtIngest(Tables.t(spark, sf, "events"), "props", "props_v")
+        .write.mode("overwrite").parquet(out)
+      val stored = spark.read.parquet(out)
+      // the 100 TB read path: typed variant_get over the stored binary —
+      // no parse_json anywhere in the plan
+      val df = stored
+        .select(variant_get(col("props_v"), "$.k", "int").as("k"), col("value"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .orderBy("k")
+      assert(!df.queryExecution.executedPlan.toString.contains("parse_json"),
+        "stored-variant read path must not re-parse")
+      val got = df.collect()
+      val want = q("e14_variant_json").collect()
+      assert(got.sameElements(want))
+    } finally graft.store.GraphPackage.deleteRecursive(java.nio.file.Paths.get(out))
+  }
+
   test("f10 unpivot triples the row count and keeps per-measure cardinality") {
     val li = Tables.t(spark, sf, "lineitem").count()
     val out = q("f10_unpivot").collect()

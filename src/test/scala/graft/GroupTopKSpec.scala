@@ -64,6 +64,18 @@ class GroupTopKSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(9995L, 9996L, 9997L, 9998L, 9999L))
   }
 
+  test("g9_knn_classify plans through GroupTopK with no window sort") {
+    val df = SparkEntry.queries("g9_knn_classify")(spark, sf)
+    df.collect() // finalize AQE so the asserted plan is the executed one
+    // AQE's toString prints the final plan then the initial plan — assert
+    // on the final section only
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("GroupTopK \\[".r.findAllIn(plan).length == 2,
+      s"top-5 should be partial+final GroupTopK, not a window sort:\n$plan")
+    assert(!plan.contains("Window"),
+      s"g9 must not pay a per-group full sort (top-5) nor a vote window:\n$plan")
+  }
+
   test("k larger than any group returns every row") {
     val li = Tables.t(spark, sf, "lineitem").limit(200)
     val got = GroupTopK.topK(li, Seq("l_orderkey"), Seq(("l_linenumber", true)), 1000)

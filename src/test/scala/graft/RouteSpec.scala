@@ -101,7 +101,11 @@ class RouteSpec extends AnyFunSuite {
   test("A* past the local-edge gate delegates to Pregel with the identical route") {
     // lower the gate below the fixture's edge count: the call must take the
     // distributed path (no driver collect of edges/coords) and still return
-    // the same optimal route and cost as the local search
+    // the same optimal route and cost as the local search.
+    // NOTE: the node-sequence equality below is safe only because the star
+    // fixture's shortest path is UNIQUE (leaf → hub → leaf is the single
+    // route); on a graph with equal-cost alternates the two algorithms may
+    // tie-break differently and only the cost is comparable.
     assert(g.size() > 1)
     val gated = Route.shortestPathAStar(g, leafWest, Fixture.TestNode1,
       maxLocalEdges = 1)
@@ -126,6 +130,51 @@ class RouteSpec extends AnyFunSuite {
     assert(dists.size == 5 * 2)
     val close = Route.closeness(spark, g, landmarks, "_length").collect()
     assert(close.nonEmpty && close.forall(_.getDouble(1) > 0))
+  }
+
+  test("betweenness: distributed fixpoint equals exact local Brandes on the fixture") {
+    val all = g.nodes.select("_n").collect().map(_.getString(0)).toSeq
+    val dist = Route.betweenness(spark, g, all, "_length").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val local = Route.betweennessLocal(g, "_length")
+    assert(dist.keySet == local.keySet)
+    all.foreach { n =>
+      assert(math.abs(dist(n) - local(n)) < 1e-9, s"$n: ${dist(n)} vs ${local(n)}")
+    }
+    // star: every leaf-to-leaf shortest path crosses the hub, so the hub
+    // strictly dominates
+    val hub = dist(Fixture.TestNode2)
+    assert(hub > 0)
+    assert(dist.filterNot(_._1 == Fixture.TestNode2).values.forall(_ < hub))
+  }
+
+  test("landmark-sampled betweenness surfaces the barbell bridge") {
+    import TestSpark.spark.implicits._
+    // two complete 5-cliques joined a0 — x — b0: all cross-cluster traffic
+    // flows through {a0, x, b0}
+    val left = (0 until 5).map(i => s"a$i")
+    val right = (0 until 5).map(i => s"b$i")
+    val intra = for {
+      side <- Seq(left, right); i <- side.indices; j <- side.indices if i != j
+    } yield (side(i), side(j), 1.0)
+    val bridge = Seq(("a0", "x", 1.0), ("x", "a0", 1.0),
+      ("b0", "x", 1.0), ("x", "b0", 1.0))
+    val bg = new PropertyGraph(
+      (left ++ right :+ "x").toDF("_n"),
+      (intra ++ bridge).toDF("_u", "_v", "_length"))
+    // a 4-of-11 landmark sample (two per side) must already separate the
+    // bottleneck trio from the clique interiors
+    val sampled = Route.betweenness(spark, bg, Seq("a1", "a2", "b1", "b2"), "_length")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(sampled.size == 11)
+    val bottleneck = Set("a0", "x", "b0")
+    val minBottleneck = bottleneck.map(sampled).min
+    val maxOther = sampled.filterNot(kv => bottleneck(kv._1)).values.max
+    assert(minBottleneck > maxOther,
+      s"bridge trio should dominate: $sampled")
+    // the sampled ranking agrees with the exact local measure's verdict
+    val exact = Route.betweennessLocal(bg, "_length")
+    assert(bottleneck.map(exact).min > exact.filterNot(kv => bottleneck(kv._1)).values.max)
   }
 
   test("pageRank: hub outranks leaves") {

@@ -84,6 +84,68 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(key(theta).nonEmpty)
   }
 
+  test("trained IVF centroids beat first-k seeds on a clustered corpus") {
+    import spark.implicits._
+    val dim = 16
+    // 8 well-separated cluster directions with small deterministic jitter;
+    // ids 1..8 all sit in cluster 0, so the first-k seed is pathological
+    // (every untrained centroid points the same way) while the corpus is
+    // evenly spread — exactly the distribution mismatch k-means fixes
+    def vec(cluster: Int, j: Int): Array[Float] = {
+      val v = Array.fill(dim)(0.0f)
+      v(cluster * 2) = 1.0f
+      (0 until dim).foreach { p =>
+        v(p) += java.lang.Math.floorMod(
+          graft.functions.Hashing.splitmix64(cluster * 7919L + j * 17L + p), 100L) / 1000.0f
+      }
+      v
+    }
+    val rows = (1 to 8).map(id => (id.toLong, vec(0, id))) ++
+      (9 to 208).map(id => (id.toLong, vec(id % 8, id)))
+    val df = rows.toDF("vec_id", "embedding")
+    val qv = vec(5, 999).map(_.toDouble)
+    val brute = graft.llm.Similarity.bruteForceTopK(df, "vec_id", "embedding",
+        qv.toSeq, 10)
+      .collect().map(_.getLong(0)).toSet
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    // (recall@10, probe-stage corpus fraction, quantization objective =
+    // mean cosine of each vector to its assigned centroid). The objective
+    // is the quantity Lloyd optimizes and the one that generalizes: on
+    // this toy corpus ANY 8 distinct centroids act as a consistent
+    // cluster hash (so recall alone cannot expose a bad seed), but a
+    // low objective means buckets do not track the distribution — which
+    // at real scale is exactly what collapses the recall/selectivity
+    // trade-off.
+    def stats(iters: Int): (Double, Double, Double) = {
+      val got = graft.llm.Similarity.ivfTopK(df, "vec_id", "embedding", qv.toSeq, 10,
+          nCentroids = 8, nProbe = 2, trainIters = iters)
+        .collect().map(_.getLong(0)).toSet
+      val cents = graft.llm.Similarity.trainCentroids(df, "vec_id", "embedding", 8, iters)
+      val probes = cents.zipWithIndex.sortBy { case (c, i) => (-cos(qv, c), i) }
+        .take(2).map(_._2).toSet
+      val vecsAndCids = df.select(col("embedding").cast("array<double>"),
+          graft.functions.VectorFunctions.nearestCentroid(col("embedding"), cents))
+        .collect().map(r => (r.getSeq[Double](0).toArray, r.getInt(1)))
+      (brute.intersect(got).size.toDouble / brute.size,
+        vecsAndCids.count(vc => probes(vc._2)).toDouble / vecsAndCids.length,
+        vecsAndCids.map(vc => cos(vc._1, cents(vc._2))).sum / vecsAndCids.length)
+    }
+    val (trainedRecall, trainedFrac, trainedObj) = stats(2)
+    val (_, _, untrainedObj) = stats(0)
+    // trained: high recall AND real pruning (2 of 8 balanced buckets)
+    assert(trainedRecall >= 0.9, s"trained recall too low: $trainedRecall")
+    assert(trainedFrac <= 0.4,
+      s"trained IVF should prune to ~nProbe/nCentroids of the corpus, scanned $trainedFrac")
+    // the all-in-one-cluster seed leaves every other cluster far from its
+    // centroid; two Lloyd iterations must tighten the quantization a lot
+    assert(trainedObj > untrainedObj + 0.1,
+      s"training should tighten quantization: trained=$trainedObj untrained=$untrainedObj")
+  }
+
   test("IVF ANN recall vs brute force") {
     val e = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
     val qv = e.filter(col("vec_id") === 0).select("embedding")
