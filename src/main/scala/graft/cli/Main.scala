@@ -17,6 +17,7 @@ import graft.store.GraphPackage
   *   dwithin <pkg> <lon> <lat> <meters>
   *   route <pkg> <u> <v> [weightCol]
   *   landmarks <pkg> <weightCol> <node...>
+  *   betweenness <pkg> <weightCol> <source...>
   *   export-gpkg <pkg> <outdir> / import-gpkg <dir>
   */
 object Main {
@@ -103,6 +104,15 @@ object Main {
         case None => println("no path")
       }
 
+    // betweenness from the given landmark sample (pass every node for the
+    // exact measure); top 50 by score
+    case "betweenness" :: pkg :: weight :: srcs if srcs.nonEmpty =>
+      val g = GraphPackage.load(spark, pkg)
+      Route.betweenness(spark, g, srcs, weight)
+        .orderBy(org.apache.spark.sql.functions.col("betweenness").desc,
+          org.apache.spark.sql.functions.col("_n"))
+        .show(50, truncate = false)
+
     case _ =>
       System.err.println(
         """usage:
@@ -112,6 +122,7 @@ object Main {
           |  dwithin <pkg> <lon> <lat> <meters>
           |  route <pkg> <u> <v> [weightCol]
           |  landmarks <pkg> <weightCol> <node...>
+          |  betweenness <pkg> <weightCol> <source...>
           |  export-gpkg <pkg> <out.gpkg>
           |  import-gpkg <in.gpkg>
           |  export-gpkg-parquet <pkg> <outdir>
