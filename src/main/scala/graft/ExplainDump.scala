@@ -17,7 +17,7 @@ object ExplainDump {
     "q4_shipping_priority", "q5_region_volume", "q6_revenue_delta",
     "j11_knn_join", "j12_recursive_chain", "g8_zorder_cell",
     "e13_session_window", "t12_chunk_overlap", "a13_bitmap_distinct",
-    "ann_pq_topk", "t15_winsorize",
+    "ann_pq_topk", "ann_ivf_topk", "g9_knn_classify", "t15_winsorize",
     "a14_heavy_hitters", "e16_interval_left_join", "j13_fuzzy_name_join",
     "t17_bm25", "w8_moving_median", "f20_map_battery", "a15_grouping_id")
 
