@@ -172,6 +172,18 @@ object Similarity {
     cb
   }
 
+  /** A trained IVF index — the build-once artifact. At 100 TB training
+    * runs once at index-build time (and the assignment becomes a stored,
+    * bucketed `_cid` column); queries then reuse the centroids with zero
+    * training cost. [[ivfTopK]] is the convenience form that builds and
+    * queries in one call.
+    */
+  case class IvfIndex(centroids: Array[Array[Double]])
+
+  def buildIvfIndex(embeddings: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int = 16, trainIters: Int = 2): IvfIndex =
+    IvfIndex(trainCentroids(embeddings, idCol, vecCol, nCentroids, trainIters))
+
   /** IVF (inverted-file) ANN: vectors are assigned to their nearest
     * centroid once (a stored bucket column at scale); a query probes only
     * the `nProbe` centroids nearest to it, then runs exact cosine on that
@@ -182,18 +194,21 @@ object Similarity {
     */
   def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
       queryVec: Seq[Double], k: Int, nCentroids: Int = 16,
-      nProbe: Int = 4, trainIters: Int = 2): DataFrame = {
-    val cents: Array[(Int, Array[Double])] =
-      trainCentroids(embeddings, idCol, vecCol, nCentroids, trainIters).zipWithIndex
-        .map { case (c, i) => (i, c) }
+      nProbe: Int = 4, trainIters: Int = 2): DataFrame =
+    ivfTopKWith(buildIvfIndex(embeddings, idCol, vecCol, nCentroids, trainIters),
+      embeddings, idCol, vecCol, queryVec, k, nProbe)
 
+  /** Query path against a pre-built [[IvfIndex]] — no training jobs. */
+  def ivfTopKWith(index: IvfIndex, embeddings: DataFrame, idCol: String,
+      vecCol: String, queryVec: Seq[Double], k: Int, nProbe: Int = 4): DataFrame = {
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
       d / math.sqrt(na * nb)
     }
-    val probes = cents.sortBy { case (_, c) => -cos(queryVec.toArray, c) }
-      .take(nProbe).map(_._1).toSeq
+    val probes = index.centroids.zipWithIndex
+      .sortBy { case (c, _) => -cos(queryVec.toArray, c) }
+      .take(nProbe).map(_._2).toSeq
 
     val q = array(queryVec.map(lit): _*)
     // centroid assignment is a native codegen'd expression (AnnKernel):
@@ -201,7 +216,7 @@ object Similarity {
     // whole-stage-codegen span, no ScalaUDF plan break
     embeddings
       .withColumn("_cid", graft.functions.VectorFunctions.nearestCentroid(
-        col(vecCol), cents.map(_._2)))
+        col(vecCol), index.centroids))
       .filter(col("_cid").isin(probes: _*))
       .select(col(idCol), cosine(col(vecCol), q).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
@@ -225,13 +240,38 @@ object Similarity {
     * fold and the m-term table sum run in ascending index order, so every
     * double matches bit-for-bit.
     */
+  /** A trained PQ codebook — the build-once artifact; see [[IvfIndex]].
+    * At 100 TB the `_codes` column is also written at ingest, so queries
+    * scan m bytes per vector with no encode either.
+    */
+  case class PqIndex(codebook: Array[Array[Array[Double]]]) {
+    def m: Int = codebook.length
+    def ksub: Int = codebook(0).length
+    def subDim: Int = codebook(0)(0).length
+  }
+
+  def buildPqIndex(embeddings: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int = 8, ksub: Int = 16, trainIters: Int = 2): PqIndex = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    PqIndex(trainCodebook(embeddings, idCol, vecCol, m, ksub, dim / m, trainIters))
+  }
+
   def pqTopK(embeddings: DataFrame, idCol: String, vecCol: String,
       queryVec: Seq[Double], k: Int, m: Int = 8, ksub: Int = 16,
-      refine: Int = 50, trainIters: Int = 2): DataFrame = {
-    val dim = queryVec.length
-    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
-    val subDim = dim / m
-    val codebook = trainCodebook(embeddings, idCol, vecCol, m, ksub, subDim, trainIters)
+      refine: Int = 50, trainIters: Int = 2): DataFrame =
+    pqTopKWith(
+      buildPqIndex(embeddings, idCol, vecCol, queryVec.length, m, ksub, trainIters),
+      embeddings, idCol, vecCol, queryVec, k, refine)
+
+  /** Query path against a pre-built [[PqIndex]] — no training jobs. */
+  def pqTopKWith(index: PqIndex, embeddings: DataFrame, idCol: String,
+      vecCol: String, queryVec: Seq[Double], k: Int, refine: Int = 50): DataFrame = {
+    val m = index.m
+    val ksub = index.ksub
+    val subDim = index.subDim
+    require(queryVec.length == m * subDim,
+      s"query dim ${queryVec.length} != index dim ${m * subDim}")
+    val codebook = index.codebook
 
     def l2(a: Array[Double], aOff: Int, b: Array[Double]): Double = {
       var d = 0.0; var i = 0

@@ -13,6 +13,16 @@ import graft.Tables.t
 object Extended5 {
   type Q = (SparkSession, String) => DataFrame
 
+  /** The previous j12 invocation's cached successor relation. Each call
+    * builds a fresh plan, so a plain cache() could never be matched by an
+    * unpersist and leaked one executor-memory entry per invocation for the
+    * session's lifetime; swapping through this reference bounds live
+    * entries to exactly one (released the moment the next call replaces
+    * it, or by a harness-level clearCache).
+    */
+  private val lastOrderEdges =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   val queries: Map[String, Q] = Map(
     // ---- native WITH RECURSIVE: walk each customer's order chain ----
     // The iterative-union operator inside one SQL statement (the j3 BFS is
@@ -27,17 +37,18 @@ object Extended5 {
       orders.createOrReplaceTempView("v_orders")
       // materialize the successor relation once: inlined as a CTE it would
       // be re-derived (window included) on every recursive step — measured
-      // 7x slower at sf0.1 over ~24 iterations. localCheckpoint (eager)
-      // rather than cache(): the blocks are released by the ContextCleaner
-      // as soon as this plan is unreachable, whereas a cache() here leaked
-      // one catalog-cache entry per invocation for the life of the session
-      // (each call builds a fresh plan, so unpersist never matched).
+      // 7x slower at sf0.1 over ~24 iterations. cache() materializes
+      // lazily inside the first recursive step (no extra eager pass, which
+      // cost ~0.6s with an eager localCheckpoint here); the swap through
+      // lastOrderEdges keeps at most one invocation's cache alive.
       val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
-      orders.select(col("o_custkey"), col("o_orderkey"),
+      val edges = orders.select(col("o_custkey"), col("o_orderkey"),
           lead("o_orderkey", 1).over(w).as("nxt"))
         .filter(col("nxt").isNotNull)
-        .localCheckpoint(true)
-        .createOrReplaceTempView("v_order_edges")
+        .cache()
+      val prev = lastOrderEdges.getAndSet(edges)
+      if (prev != null) prev.unpersist(blocking = false)
+      edges.createOrReplaceTempView("v_order_edges")
       s.sql("""
         WITH RECURSIVE walk AS (
           SELECT o_custkey, min(o_orderkey) AS o_orderkey, CAST(0 AS BIGINT) AS pos
