@@ -111,9 +111,12 @@ object Similarity {
     */
   def trainCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int, iters: Int): Array[Array[Double]] = {
+    require(nCentroids > 0 && iters >= 0,
+      s"need nCentroids > 0 and iters >= 0, got $nCentroids/$iters")
     var cents: Array[Array[Double]] = embeddings.orderBy(col(idCol))
       .limit(nCentroids).select(col(vecCol).cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
+    require(cents.nonEmpty, "IVF training needs at least one vector")
     var it = 0
     while (it < iters) {
       val rows = embeddings

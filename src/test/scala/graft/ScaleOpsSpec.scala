@@ -136,6 +136,17 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
     val (trainedRecall, trainedFrac, trainedObj) = stats(2)
     val (_, _, untrainedObj) = stats(0)
+    // the build-once index path must answer identically to the one-call
+    // form (train once at index build, query many times with no training)
+    val idx = graft.llm.Similarity.buildIvfIndex(df, "vec_id", "embedding",
+      nCentroids = 8, trainIters = 2)
+    val viaIndex = graft.llm.Similarity.ivfTopKWith(idx, df, "vec_id", "embedding",
+        qv.toSeq, 10, nProbe = 2)
+      .collect().map(_.getLong(0)).toSeq
+    val viaOneCall = graft.llm.Similarity.ivfTopK(df, "vec_id", "embedding",
+        qv.toSeq, 10, nCentroids = 8, nProbe = 2, trainIters = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaIndex == viaOneCall)
     // trained: high recall AND real pruning (2 of 8 balanced buckets)
     assert(trainedRecall >= 0.9, s"trained recall too low: $trainedRecall")
     assert(trainedFrac <= 0.4,
