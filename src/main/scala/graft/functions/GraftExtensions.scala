@@ -62,8 +62,16 @@ object GraftExtensions {
       exprs => MinHashSig(
         Cast(exprs(0), org.apache.spark.sql.types.StringType), 64, 2))
     spark.udf.register("simhash", graft.llm.Dedup.simhashUdf)
-    spark.udf.register("rolling_fingerprint", graft.llm.Text.rollingFingerprintUdf)
-    spark.udf.register("lang_id", graft.llm.Text.langIdUdf)
+    ColumnBridge.registerFunction(spark, "rolling_fingerprint",
+      exprs => RollingFingerprint(
+        Cast(exprs(0), org.apache.spark.sql.types.StringType),
+        exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"rolling_fingerprint k must be an integer literal, got $other")
+        }))
+    ColumnBridge.registerFunction(spark, "lang_id",
+      exprs => LangId(Cast(exprs(0), org.apache.spark.sql.types.StringType)))
     ColumnBridge.addStrategy(spark, graft.plans.GroupTopK.Strategy)
     ColumnBridge.addOptimization(spark, graft.plans.RankLimitRewrite)
   }

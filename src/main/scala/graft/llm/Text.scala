@@ -4,8 +4,9 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines.
-  * All hot-path functions are built-in-composed (codegen'd); only language
-  * ID is a UDF (dictionary scoring, applied once per document).
+  * Every function is either built-in-composed or a native codegen'd
+  * expression (language ID and the rolling fingerprint live in
+  * [[graft.functions.TextExpressions]]) — zero ScalaUDFs on any path.
   */
 object Text {
 
@@ -65,19 +66,11 @@ object Text {
   /** Rolling (polynomial) hash fingerprint of word k-grams, winnowed to the
     * minimum — robust to small edits at the document edges. Deterministic
     * and exactly oracled in SQL (HUGEINT mod-2^64 emulation of the
-    * wraparound poly hash).
+    * wraparound poly hash). A native codegen'd expression
+    * ([[graft.functions.RollingFingerprint]]) — no ScalaUDF plan break.
     */
-  val rollingFingerprintUdf = udf((text: String, k: Int) => {
-    if (text == null) null
-    else {
-      val ws = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
-      if (ws.length < k) java.lang.Long.valueOf(polyHash(ws.mkString(" ")))
-      else java.lang.Long.valueOf(
-        ws.sliding(k).map(g => polyHash(g.mkString(" "))).min)
-    }
-  })
-
-  private[llm] def polyHash(s: String): Long = graft.functions.Hashing.polyHash(s)
+  def rollingFingerprint(text: Column, k: Int): Column =
+    graft.functions.TextFunctions.rollingFingerprint(text, k)
 
   /** Marker-word language ID over {en, de, es, fr, zh}: scores each
     * language by its function-word hits (+ CJK codepoint detection for zh);
@@ -91,22 +84,9 @@ object Text {
     "fr" -> Set("le", "la", "les", "et", "est", "un", "une", "je", "pas", "pour"),
     "zh" -> Set())
 
-  val langIdUdf = udf((text: String) => {
-    if (text == null || text.isEmpty) "und"
-    else {
-      val cjk = text.codePoints().filter(c => c >= 0x4E00 && c <= 0x9FFF).count()
-      if (cjk * 2 >= text.length) "zh"
-      else {
-        val ws = text.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty)
-        if (ws.isEmpty) "und"
-        else {
-          val scores = Markers.collect { case (lang, m) if m.nonEmpty =>
-            lang -> ws.count(m.contains)
-          }
-          val (best, score) = scores.toSeq.sortBy { case (l, s) => (-s, l) }.head
-          if (score == 0) "und" else best
-        }
-      }
-    }
-  })
+  /** Language ID as a native codegen'd expression
+    * ([[graft.functions.LangId]]; scoring lives in
+    * [[graft.functions.TextKernel.langId]]).
+    */
+  def langId(text: Column): Column = graft.functions.TextFunctions.langId(text)
 }

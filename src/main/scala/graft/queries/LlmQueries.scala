@@ -36,7 +36,7 @@ object LlmQueries {
         .orderBy("doc_id")),
     "t3_lang_id" -> ((s, d) =>
       t(s, d, "documents")
-        .select(col("doc_id"), Text.langIdUdf(col("text")).as("lang_pred"))
+        .select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
     "t4_fingerprint" -> ((s, d) =>
       t(s, d, "documents")
@@ -45,7 +45,7 @@ object LlmQueries {
     "t5_rolling_fingerprint" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"),
-          Text.rollingFingerprintUdf(col("text"), lit(3)).as("rfp"))
+          Text.rollingFingerprint(col("text"), 3).as("rfp"))
         .orderBy("doc_id")),
 
     // ---- deduplication ----
@@ -272,7 +272,7 @@ object LlmQueries {
          WHERE doc_id = keep ORDER BY doc_id""",
     // Java's wraparound polynomial hash (h = 31h + c over long overflow)
     // emulated with HUGEINT arithmetic mod 2^64, then min-winnowed over the
-    // same word 3-grams as Text.rollingFingerprintUdf; the corpus is
+    // same word 3-grams as Text.rollingFingerprint; the corpus is
     // ASCII-only so unicode(c) == charAt — an exact replica, not an
     // approximation
     "t5_rolling_fingerprint" ->

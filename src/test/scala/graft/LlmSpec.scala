@@ -170,7 +170,7 @@ class LlmSpec extends AnyFunSuite {
       "el perro es un animal y la casa es de los gatos por ahora",
       "le chat est une belle créature et je ne vais pas au parc pour rien",
       "今天天气很好我们去公园散步吧然后回家吃饭"
-    ).toDF("text").select(Text.langIdUdf(col("text"))).collect().map(_.getString(0))
+    ).toDF("text").select(Text.langId(col("text"))).collect().map(_.getString(0))
     assert(out.toSeq == Seq("en", "de", "es", "fr", "zh"))
   }
 

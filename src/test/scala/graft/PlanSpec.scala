@@ -87,6 +87,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("UDF("), s"unexpected ScalaUDF in the LSH plan:\n$p")
   }
 
+  test("lang id and rolling fingerprint are native codegen expressions, not UDFs") {
+    val d = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val q = d.select(org.apache.spark.sql.functions.col("doc_id"),
+      graft.llm.Text.langId(org.apache.spark.sql.functions.col("text")).as("lang"),
+      graft.llm.Text.rollingFingerprint(
+        org.apache.spark.sql.functions.col("text"), 3).as("rfp"))
+    val p = plan(q)
+    assert(p.contains("lang_id"), s"lang_id expression missing:\n$p")
+    assert(p.contains("rolling_fingerprint"), s"rolling_fingerprint expression missing:\n$p")
+    assert(!p.contains("UDF("), s"unexpected ScalaUDF in the text plan:\n$p")
+  }
+
   test("bucketed join reads bucket-to-bucket with no shuffle exchange") {
     val s = TestSpark.spark
     import org.apache.spark.sql.functions._
