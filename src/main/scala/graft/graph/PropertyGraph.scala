@@ -283,21 +283,23 @@ object PropertyGraph {
   /** Build from geo-file paths (ref build pipeline `build.py:24-61`; the
     * reference ingests any fiona-readable format, `io.py:10-13`).
     * `.geojsonl`/`.ndjson`/`.jsonl` files use the splittable
-    * newline-delimited reader, `.shp` the shapefile reader, `.gpkg` the
-    * byte-level GeoPackage reader (its edges already carry reversals and
-    * node ids, so they union in as-is), anything else the GeoJSON
-    * FeatureCollection reader.
+    * newline-delimited reader, `.shp` the shapefile reader, `.kml` the
+    * KML reader, `.gpkg` the byte-level GeoPackage reader (its edges
+    * already carry reversals and node ids, so they union in as-is),
+    * anything else the GeoJSON FeatureCollection reader.
     */
   def fromGeoJson(spark: org.apache.spark.sql.SparkSession, paths: Seq[String],
       opts: graft.ingest.GeoJsonIngest.Options = graft.ingest.GeoJsonIngest.Options()): PropertyGraph = {
-    val (gpkg, rest0) = paths.partition(_.toLowerCase.endsWith(".gpkg"))
+    val (gpkg, rest1) = paths.partition(_.toLowerCase.endsWith(".gpkg"))
+    val (kml, rest0) = rest1.partition(_.toLowerCase.endsWith(".kml"))
     val (shp, rest) = rest0.partition(_.toLowerCase.endsWith(".shp"))
     val (seq, fc) = rest.partition(p =>
       p.endsWith(".geojsonl") || p.endsWith(".ndjson") || p.endsWith(".jsonl"))
     val parts = Seq(
       if (fc.nonEmpty) Some(graft.ingest.GeoJsonIngest.readEdges(spark, fc, opts)) else None,
       if (seq.nonEmpty) Some(graft.ingest.GeoJsonIngest.readEdgesSeq(spark, seq, opts)) else None,
-      if (shp.nonEmpty) Some(graft.ingest.ShapefileIngest.readEdges(spark, shp, opts)) else None
+      if (shp.nonEmpty) Some(graft.ingest.ShapefileIngest.readEdges(spark, shp, opts)) else None,
+      if (kml.nonEmpty) Some(graft.ingest.KmlIngest.readEdges(spark, kml, opts)) else None
     ).flatten ++ gpkg.map(p => graft.store.GeoPackageFile.importGraph(spark, p).edges)
     // each reader numbers fids from 1; offset later parts so fids stay
     // unique across mixed-format builds

@@ -204,11 +204,11 @@ object ShapefileIngest {
     }
   }
 
-  private def fmtDouble(d: Double): String =
+  private[ingest] def fmtDouble(d: Double): String =
     if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15) s"${d.toLong}.0"
     else d.toString
 
-  private def jsonString(s: String): String = {
+  private[ingest] def jsonString(s: String): String = {
     val sb = new StringBuilder("\"")
     s.foreach {
       case '"' => sb.append("\\\"")
