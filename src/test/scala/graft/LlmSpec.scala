@@ -211,6 +211,22 @@ class LlmSpec extends AnyFunSuite {
     assert(Multimodal.extractFeatures(textMedia).collect()
       .forall(r => r.getAs[Int]("width") == 0 && r.getAs[Int]("channels") == 0))
 
+    // the decoder is format-agnostic ImageIO: JPEG bytes decode too
+    // (dimensions/channels survive lossy compression even though pixel
+    // values do not — only PNG gets the exact-mean treatment above)
+    val jpegBytes = {
+      val img = new java.awt.image.BufferedImage(7, 5,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 5).foreach(y => (0 until 7).foreach(x =>
+        img.setRGB(x, y, (x * 40 << 16) | (y * 50 << 8) | 128)))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", baos)
+      baos.toByteArray
+    }
+    val (jw, jh, jc, jf) = Multimodal.decodeImage(jpegBytes)
+    assert(jw == 7 && jh == 5 && jc == 3)
+    assert(jf.forall(v => v >= 0.0 && v <= 1.0))
+
     val withDur = media.withColumn("meta", struct(col("meta.format"),
       col("meta.width"), col("meta.height"), lit(2000L).as("duration_ms")))
     val frames = Multimodal.frameSamplePlan(withDur, 500L)
