@@ -290,8 +290,10 @@ object PropertyGraph {
     */
   def fromGeoJson(spark: org.apache.spark.sql.SparkSession, paths: Seq[String],
       opts: graft.ingest.GeoJsonIngest.Options = graft.ingest.GeoJsonIngest.Options()): PropertyGraph = {
-    val (gpkg, rest1) = paths.partition(_.toLowerCase.endsWith(".gpkg"))
-    val (kml, rest0) = rest1.partition(_.toLowerCase.endsWith(".kml"))
+    val (gpkg, rest3) = paths.partition(_.toLowerCase.endsWith(".gpkg"))
+    val (kml, rest2) = rest3.partition(_.toLowerCase.endsWith(".kml"))
+    val (gml, rest1) = rest2.partition(_.toLowerCase.endsWith(".gml"))
+    val (osm, rest0) = rest1.partition(_.toLowerCase.endsWith(".osm"))
     val (shp, rest) = rest0.partition(_.toLowerCase.endsWith(".shp"))
     val (seq, fc) = rest.partition(p =>
       p.endsWith(".geojsonl") || p.endsWith(".ndjson") || p.endsWith(".jsonl"))
@@ -299,7 +301,9 @@ object PropertyGraph {
       if (fc.nonEmpty) Some(graft.ingest.GeoJsonIngest.readEdges(spark, fc, opts)) else None,
       if (seq.nonEmpty) Some(graft.ingest.GeoJsonIngest.readEdgesSeq(spark, seq, opts)) else None,
       if (shp.nonEmpty) Some(graft.ingest.ShapefileIngest.readEdges(spark, shp, opts)) else None,
-      if (kml.nonEmpty) Some(graft.ingest.KmlIngest.readEdges(spark, kml, opts)) else None
+      if (kml.nonEmpty) Some(graft.ingest.KmlIngest.readEdges(spark, kml, opts)) else None,
+      if (gml.nonEmpty) Some(graft.ingest.GmlIngest.readEdges(spark, gml, opts)) else None,
+      if (osm.nonEmpty) Some(graft.ingest.OsmIngest.readEdges(spark, osm, opts)) else None
     ).flatten ++ gpkg.map(p => graft.store.GeoPackageFile.importGraph(spark, p).edges)
     // each reader numbers fids from 1; offset later parts so fids stay
     // unique across mixed-format builds

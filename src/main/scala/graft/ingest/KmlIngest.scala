@@ -71,9 +71,13 @@ object KmlIngest {
     GeoJsonIngest.fromFeatures(feats, GeoJsonIngest.propsOf(raw.schema), opts)
   }
 
-  /** Hardened parser factory: KML files are external input, so DTDs and
-    * external entities are disabled outright (XXE).
+  /** Hardened DOM builder shared by the XML ingest formats (KML, GML,
+    * OSM): external input, so DTDs and external entities are disabled
+    * outright (XXE).
     */
+  private[ingest] def secureBuilder(): javax.xml.parsers.DocumentBuilder =
+    secureFactory().newDocumentBuilder()
+
   private def secureFactory(): DocumentBuilderFactory = {
     val f = DocumentBuilderFactory.newInstance()
     f.setNamespaceAware(true)
@@ -105,8 +109,7 @@ object KmlIngest {
   /** GeoJSON Feature JSON lines for every LineString placemark. */
   private[graft] def featureJsonLines(xml: Array[Byte], layer: String): Iterator[String] = {
     import ShapefileIngest.{fmtDouble, jsonString}
-    val doc = secureFactory().newDocumentBuilder()
-      .parse(new ByteArrayInputStream(xml))
+    val doc = secureBuilder().parse(new ByteArrayInputStream(xml))
     val placemarks = doc.getElementsByTagNameNS("*", "Placemark")
     (0 until placemarks.getLength).iterator.flatMap { i =>
       val pm = placemarks.item(i).asInstanceOf[Element]
