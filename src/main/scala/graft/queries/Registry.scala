@@ -28,7 +28,8 @@ object Registry {
     (Extended14.queries, Extended14.oracleSql),
     (Extended15.queries, Extended15.oracleSql),
     (Extended16.queries, Extended16.oracleSql),
-    (Extended17.queries, Extended17.oracleSql)
+    (Extended17.queries, Extended17.oracleSql),
+    (Extended18.queries, Extended18.oracleSql)
   )
 
   def queries: Map[String, Q] = providers.map(_._1).reduce(_ ++ _)
