@@ -129,14 +129,21 @@ object Extended2 {
         .filter(col("x.l_partkey") < col("y.l_partkey"))
         .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
         .distinct()
+      // GraphX walks the edge RDD several times (graph build, partitionBy,
+      // the triangle pass) — persist so the SQL self-join+distinct above
+      // runs ONCE, not once per pass; at scale the recompute would dwarf
+      // the count itself. Released before returning (the fold is eager).
       val edges = pairs.as[(Long, Long)].rdd
-      val g = org.apache.spark.graphx.Graph.fromEdgeTuples(edges, 0)
-        .partitionBy(org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
-      // pairs is already distinct with a < b — the canonical form — so the
-      // general triangleCount's extra dedup + orientation shuffle is skipped
-      val n = org.apache.spark.graphx.lib.TriangleCount.runPreCanonicalized(g)
-        .vertices.map(_._2.toLong).fold(0L)(_ + _) / 3
-      s.range(1).select(lit(n).as("n_triangles"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val g = org.apache.spark.graphx.Graph.fromEdgeTuples(edges, 0)
+          .partitionBy(org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
+        // pairs is already distinct with a < b — the canonical form — so the
+        // general triangleCount's extra dedup + orientation shuffle is skipped
+        val n = org.apache.spark.graphx.lib.TriangleCount.runPreCanonicalized(g)
+          .vertices.map(_._2.toLong).fold(0L)(_ + _) / 3
+        s.range(1).select(lit(n).as("n_triangles"))
+      } finally edges.unpersist(blocking = false)
     })
   )
 
