@@ -29,7 +29,8 @@ object Registry {
     (Extended15.queries, Extended15.oracleSql),
     (Extended16.queries, Extended16.oracleSql),
     (Extended17.queries, Extended17.oracleSql),
-    (Extended18.queries, Extended18.oracleSql)
+    (Extended18.queries, Extended18.oracleSql),
+    (Extended19.queries, Extended19.oracleSql)
   )
 
   def queries: Map[String, Q] = providers.map(_._1).reduce(_ ++ _)
