@@ -12,7 +12,7 @@ import graft.store.GraphPackage
   * (`cli.py:8-53`), plus query subcommands for the stored package.
   *
   * Usage:
-  *   build <out.graft> <infile(.geojson|.ndjson|.shp|.kml|.gml|.osm|.gpkg)...> [--precision P] [--changes-sign col,col]
+  *   build <out.graft> <infile(.geojson|.ndjson|.shp|.kml|.gml|.osm|.osm.pbf|.gpkg)...> [--precision P] [--changes-sign col,col]
   *   stats <pkg>
   *   dwithin <pkg> <lon> <lat> <meters>
   *   route <pkg> <u> <v> [weightCol]
@@ -116,7 +116,7 @@ object Main {
     case _ =>
       System.err.println(
         """usage:
-          |  build <out.graft> <infile(.geojson|.ndjson|.shp|.kml|.gml|.osm|.gpkg)...> [--precision P] [--changes-sign c1,c2]
+          |  build <out.graft> <infile(.geojson|.ndjson|.shp|.kml|.gml|.osm|.osm.pbf|.gpkg)...> [--precision P] [--changes-sign c1,c2]
           |  stats <pkg>
           |  compact <pkg> [targetMB]
           |  dwithin <pkg> <lon> <lat> <meters>

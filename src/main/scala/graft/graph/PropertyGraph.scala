@@ -290,7 +290,8 @@ object PropertyGraph {
     */
   def fromGeoJson(spark: org.apache.spark.sql.SparkSession, paths: Seq[String],
       opts: graft.ingest.GeoJsonIngest.Options = graft.ingest.GeoJsonIngest.Options()): PropertyGraph = {
-    val (gpkg, rest3) = paths.partition(_.toLowerCase.endsWith(".gpkg"))
+    val (gpkg, rest4) = paths.partition(_.toLowerCase.endsWith(".gpkg"))
+    val (pbf, rest3) = rest4.partition(_.toLowerCase.endsWith(".pbf"))
     val (kml, rest2) = rest3.partition(_.toLowerCase.endsWith(".kml"))
     val (gml, rest1) = rest2.partition(_.toLowerCase.endsWith(".gml"))
     val (osm, rest0) = rest1.partition(_.toLowerCase.endsWith(".osm"))
@@ -303,7 +304,8 @@ object PropertyGraph {
       if (shp.nonEmpty) Some(graft.ingest.ShapefileIngest.readEdges(spark, shp, opts)) else None,
       if (kml.nonEmpty) Some(graft.ingest.KmlIngest.readEdges(spark, kml, opts)) else None,
       if (gml.nonEmpty) Some(graft.ingest.GmlIngest.readEdges(spark, gml, opts)) else None,
-      if (osm.nonEmpty) Some(graft.ingest.OsmIngest.readEdges(spark, osm, opts)) else None
+      if (osm.nonEmpty) Some(graft.ingest.OsmIngest.readEdges(spark, osm, opts)) else None,
+      if (pbf.nonEmpty) Some(graft.ingest.OsmPbfIngest.readEdges(spark, pbf, opts)) else None
     ).flatten ++ gpkg.map(p => graft.store.GeoPackageFile.importGraph(spark, p).edges)
     // each reader numbers fids from 1; offset later parts so fids stay
     // unique across mixed-format builds

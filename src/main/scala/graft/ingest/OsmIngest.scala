@@ -63,7 +63,6 @@ object OsmIngest {
 
   /** GeoJSON Feature JSON lines for every line-like way. */
   private[graft] def featureJsonLines(xml: Array[Byte], layer: String): Iterator[String] = {
-    import ShapefileIngest.{fmtDouble, jsonString}
     val doc = KmlIngest.secureBuilder().parse(new ByteArrayInputStream(xml))
     val nodeEls = doc.getElementsByTagNameNS("*", "node")
     val nodePos = new scala.collection.mutable.HashMap[Long, (Double, Double)]()
@@ -90,18 +89,29 @@ object OsmIngest {
       val isArea = closed && tags.exists { case (k, v) => k == "area" && v == "yes" }
       if (coords.length < 2 || isArea) Iterator.empty
       else {
-        val props = scala.collection.mutable.LinkedHashMap[String, String]()
-        scala.util.Try(w.getAttribute("id").toLong).toOption
-          .foreach(id => props("osm_id") = id.toString)
-        tags.foreach { case (k, v) => props(k) = sniffJson(v) }
-        val coordJson = coords.map(c =>
-          s"[${fmtDouble(c._1)},${fmtDouble(c._2)}]").mkString("[", ",", "]")
-        val propJson = props.map { case (k, vj) => s"${jsonString(k)}:$vj" }
-          .mkString(""","properties":{""", ",", "}")
-        Iterator(s"""{"_layer":${jsonString(layer)},"pos":${i + 1},""" +
-          s""""geometry":{"type":"LineString","coordinates":$coordJson}$propJson}""")
+        val id = scala.util.Try(w.getAttribute("id").toLong).toOption.getOrElse(0L)
+        Iterator(featureLine(layer, i + 1L, id, tags, coords))
       }
     }
+  }
+
+  /** One GeoJSON Feature line for a resolved way — shared by the XML and
+    * PBF readers so both formats render (and therefore type-sniff and
+    * schema-infer) identically. `osm_id` leads, then tags in the given
+    * order.
+    */
+  private[ingest] def featureLine(layer: String, pos: Long, osmId: Long,
+      tags: Iterable[(String, String)], coords: Seq[(Double, Double)]): String = {
+    import ShapefileIngest.{fmtDouble, jsonString}
+    val props = scala.collection.mutable.LinkedHashMap[String, String]()
+    props("osm_id") = osmId.toString
+    tags.foreach { case (k, v) => if (k.nonEmpty) props(k) = sniffJson(v) }
+    val coordJson = coords.map(c =>
+      s"[${fmtDouble(c._1)},${fmtDouble(c._2)}]").mkString("[", ",", "]")
+    val propJson = props.map { case (k, vj) => s"${jsonString(k)}:$vj" }
+      .mkString(""","properties":{""", ",", "}")
+    s"""{"_layer":${jsonString(layer)},"pos":$pos,""" +
+      s""""geometry":{"type":"LineString","coordinates":$coordJson}$propJson}"""
   }
 
   /** OSM tag values are untyped text: emit a JSON number when the text
