@@ -17,8 +17,10 @@ import org.apache.spark.sql.types._
   * The image codec is REAL — JDK `javax.imageio` (PNG/JPEG ship with the
   * JRE, no vendored natives): [[extractFeatures]] decodes actual bytes and
   * measures actual pixels, [[resize]] decodes, resamples, and re-encodes.
-  * Audio/video remain plan-only ([[frameSamplePlan]]) since no audio/video
-  * codec ships with the JDK.
+  * The audio codec is REAL too — JDK `javax.sound.sampled` WAV/PCM:
+  * [[extractAudioFeatures]] decodes actual sample frames and measures
+  * actual amplitudes. Video remains plan-only ([[frameSamplePlan]]) since
+  * no video codec ships with the JDK.
   */
 object Multimodal {
 
@@ -160,6 +162,133 @@ object Multimodal {
       rows.map { r =>
         val (w, h, c, f) = decodeImage(r.getAs[Array[Byte]]("content"))
         Row(r.getAs[Long]("media_id"), w, h, c, f)
+      }
+    }(enc)
+  }
+
+  // -------------------------------------------------------------------
+  // audio: real WAV/PCM codec (JDK javax.sound.sampled)
+  // -------------------------------------------------------------------
+
+  /** Audio shape for `id`: 8/16/24 kHz, mono or stereo, 40–69 frames —
+    * a spread of formats, each parameter SQL-restatable from the id.
+    */
+  private[graft] def synthRate(id: Long): Int =
+    8000 * (1 + java.lang.Math.floorMod(id, 3L).toInt)
+  private[graft] def synthAudioChannels(id: Long): Int =
+    1 + java.lang.Math.floorMod(id / 3, 2L).toInt
+  private[graft] def synthFrames(id: Long): Int =
+    40 + java.lang.Math.floorMod(id, 30L).toInt
+
+  /** Signed 16-bit sample at flat index `i` (frame-major, channels
+    * interleaved): the same public splitmix64 stream idiom as
+    * [[synthPixel]], so an external SQL oracle can restate the expected
+    * amplitude statistics without any audio codec.
+    */
+  private[graft] def synthSample(id: Long, i: Int): Int =
+    java.lang.Math.floorMod(
+      graft.functions.Hashing.splitmix64(id * 999983L + i), 65536L).toInt - 32768
+
+  /** Deterministic synthetic audio, REALLY encoded: a canonical 44-byte
+    * RIFF/WAVE header + little-endian 16-bit PCM. Lossless, so a correct
+    * decoder must read back the exact generated samples.
+    */
+  private[graft] def synthWav(id: Long): (Int, Int, Int, Array[Byte]) = {
+    val rate = synthRate(id)
+    val ch = synthAudioChannels(id)
+    val n = synthFrames(id)
+    val dataLen = n * ch * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(ch.toShort).putInt(rate).putInt(rate * ch * 2)
+      .putShort((ch * 2).toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n * ch) { bb.putShort(synthSample(id, i).toShort); i += 1 }
+    (rate, ch, n, bb.array())
+  }
+
+  /** A real WAV corpus keyed by `idCol`, in [[mediaSchema]] (duration_ms
+    * from the exact frame count). Same mapPartitions shape as
+    * [[synthesizeImages]].
+    */
+  def synthesizeAudio(df: DataFrame, idCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaSchema)
+    graft.operators.Par.fanOut(df.select(col(idCol).cast("long").as("media_id")))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val (rate, _, n, wav) = synthWav(id)
+          Row(id, wav, Row("audio/wav", null, null, n.toLong * 1000L / rate))
+        }
+      }(enc)
+  }
+
+  /** Real JDK decode via `javax.sound.sampled.AudioSystem`: WAV bytes →
+    * (sampleRate, channels, frames, [mean, rms, meanChannel0] amplitudes
+    * in [-1, 1] / [0, 1]). Sums accumulate as longs (exact,
+    * order-independent); each feature is the identical arithmetic the SQL
+    * oracle states (one cast, one or two divisions, one sqrt), so the
+    * doubles are bit-stable. Undecodable or null content → zeros, as with
+    * [[decodeImage]].
+    */
+  private[graft] def decodeAudio(content: Array[Byte]): (Int, Int, Long, Array[Double]) = {
+    val zero = (0, 0, 0L, Array.fill(3)(0.0))
+    if (content == null) return zero
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(content))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => null
+        case _: java.io.IOException => null
+      }
+    if (ais == null) return zero
+    val fmt = ais.getFormat
+    if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) return zero
+    val ch = fmt.getChannels
+    val frames = ais.getFrameLength
+    val bytes =
+      try ais.readAllBytes()
+      catch { case _: java.io.IOException => return zero }
+    val n = bytes.length / 2
+    var sum = 0L
+    var sumSq = 0L
+    var c0 = 0L
+    var i = 0
+    while (i < n) {
+      val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
+      sum += s
+      sumSq += s.toLong * s
+      if (i % ch == 0) c0 += s
+      i += 1
+    }
+    if (n == 0) return zero
+    (fmt.getSampleRate.toInt, ch, frames, Array(
+      sum.toDouble / n / 32768.0,
+      math.sqrt(sumSq.toDouble / n) / 32768.0,
+      c0.toDouble / (n / ch) / 32768.0))
+  }
+
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("features", ArrayType(DoubleType))))
+
+  /** Batch audio feature extraction — same scaling shape as
+    * [[extractFeatures]]: one decoder per partition, no shuffle.
+    */
+  def extractAudioFeatures(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(audioFeatureSchema)
+    graft.operators.Par.fanOut(media.select("media_id", "content")).mapPartitions { rows =>
+      rows.map { r =>
+        val (rate, ch, frames, f) = decodeAudio(r.getAs[Array[Byte]]("content"))
+        Row(r.getAs[Long]("media_id"), rate, ch, frames, f)
       }
     }(enc)
   }

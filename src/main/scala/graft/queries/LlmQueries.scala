@@ -131,6 +131,26 @@ object LlmQueries {
           col("meta.height"),
           (octet_length(col("content")).cast("long") * 10).as("duration_ms")))
       Multimodal.frameSamplePlan(media, 500L).orderBy("media_id", "frame_ts_ms")
+    }),
+    // ---- audio: REAL RIFF/WAVE encode → javax.sound decode → features ----
+    // Same honesty contract as mm2: the PCM stream is generated from
+    // doc_id via the public splitmix64 stream, really encoded as WAV,
+    // really decoded by the JDK audio codec; the amplitude statistics of
+    // the decoded frames must equal those of the generation stream, which
+    // the oracle restates with no codec. floor(x*1e6+0.5)/1e6 is the
+    // cross-engine-stable 6-dp rounding (Spark round() HALF_UPs BigDecimal
+    // ties that DuckDB's double round misses).
+    "mm4_audio_decode" -> ((s, d) => {
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+      val media = Multimodal.synthesizeAudio(t(s, d, "documents"), "doc_id")
+      Multimodal.extractAudioFeatures(media)
+        .select(col("media_id"), col("sample_rate"), col("channels"),
+          col("n_frames"),
+          r6(element_at(col("features"), 1)).as("mean_amp"),
+          r6(element_at(col("features"), 2)).as("rms"),
+          r6(element_at(col("features"), 3)).as("mean_c0"))
+        .orderBy("media_id")
     })
   )
 
@@ -475,6 +495,27 @@ object LlmQueries {
     "mm3_frame_plan" ->
       """SELECT doc_id AS media_id,
            unnest(generate_series(0, octet_length(CAST(text AS BLOB)) * 10, 500)) AS frame_ts_ms
-         FROM documents ORDER BY media_id, frame_ts_ms"""
+         FROM documents ORDER BY media_id, frame_ts_ms""",
+    // the audio generation stream restated sample-by-sample (splitmix64 of
+    // doc_id*999983+i → signed 16-bit), no codec involved; channel 0 is
+    // flat index i with i % ch = 0 (frame-major interleave)
+    "mm4_audio_decode" -> {
+      val seeds = "list_transform(range(0, n*ch), i -> (doc_id*999983 + i)::HUGEINT)"
+      def r6(x: String) = s"floor(($x)*1000000.0 + 0.5)/1000000.0"
+      s"""WITH d AS (
+           SELECT doc_id, 8000*(1 + doc_id % 3) AS rate,
+             1 + (doc_id // 3) % 2 AS ch, 40 + doc_id % 30 AS n
+           FROM documents),
+         sm AS (
+           SELECT doc_id, rate, ch, n,
+             list_transform(${splitmixList(seeds)}, z -> z % 65536 - 32768) AS vals
+           FROM d)
+         SELECT doc_id AS media_id, rate::INT AS sample_rate, ch::INT AS channels,
+           n::BIGINT AS n_frames,
+           ${r6("CAST(list_aggregate(vals, 'sum') AS DOUBLE)/(n*ch)/32768.0")} AS mean_amp,
+           ${r6("sqrt(CAST(list_aggregate(list_transform(vals, v -> v*v), 'sum') AS DOUBLE)/(n*ch))/32768.0")} AS rms,
+           ${r6("CAST(list_aggregate([vals[i] FOR i IN range(1, len(vals)+1) IF (i-1)%ch = 0], 'sum') AS DOUBLE)/n/32768.0")} AS mean_c0
+         FROM sm ORDER BY media_id"""
+    }
   )
 }

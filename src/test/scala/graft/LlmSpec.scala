@@ -246,4 +246,36 @@ class LlmSpec extends AnyFunSuite {
       assert(again(r.getAs[Long]("media_id")) == r.getAs[Array[Byte]]("content").toSeq)
     }
   }
+
+  test("multimodal: real WAV encode/decode roundtrip via javax.sound") {
+    val media = Multimodal.synthesizeAudio(docs, "doc_id")
+    val feats = Multimodal.extractAudioFeatures(media).collect()
+    assert(feats.length == 5)
+    feats.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val (rate, ch, n) = (Multimodal.synthRate(id),
+        Multimodal.synthAudioChannels(id), Multimodal.synthFrames(id))
+      // real decode: format parameters come from the decoded WAV header,
+      // and PCM being lossless the decoded amplitude stats must equal the
+      // generation stream's, computed here with no codec
+      assert(r.getAs[Int]("sample_rate") == rate, s"rate of $id")
+      assert(r.getAs[Int]("channels") == ch, s"channels of $id")
+      assert(r.getAs[Long]("n_frames") == n.toLong, s"frames of $id")
+      val vals = Array.tabulate(n * ch)(i => Multimodal.synthSample(id, i).toLong)
+      val f = r.getAs[scala.collection.Seq[Double]]("features")
+      assert(f(0) == vals.sum.toDouble / (n * ch) / 32768.0, s"mean of $id")
+      assert(f(1) == math.sqrt(
+        vals.map(v => v * v).sum.toDouble / (n * ch)) / 32768.0, s"rms of $id")
+      assert(f(2) == vals.indices.collect {
+        case i if i % ch == 0 => vals(i)
+      }.sum.toDouble / n / 32768.0, s"c0 mean of $id")
+    }
+    // stereo ids exist in the fixture (channel interleave is exercised)
+    assert(feats.exists(_.getAs[Int]("channels") == 2))
+    // non-audio bytes decode to zeros, not a task failure
+    val junk = Multimodal.extractAudioFeatures(
+      Multimodal.asMedia(docs, "doc_id", "text", "audio/fake")).collect()
+    assert(junk.forall(r => r.getAs[Int]("sample_rate") == 0 &&
+      r.getAs[scala.collection.Seq[Double]]("features").forall(_ == 0.0)))
+  }
 }
