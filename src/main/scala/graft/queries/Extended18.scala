@@ -101,6 +101,54 @@ object Extended18 {
     dir.toString
   }
 
+  /** Staging for the session replay: the event log plus TWO sentinel
+    * waves (user −1, 4 h and 8 h past the max event time) as separate
+    * files with increasing mtimes. With `maxFilesPerTrigger=1` the file
+    * source feeds three micro-batches: after batch 2 the watermark has
+    * passed every real session's `end + gap`, so batch 3 fires all their
+    * event-time timeouts — the replay emits every real session
+    * deterministically, with no polling. Sentinel sessions are filtered
+    * by user id.
+    */
+  private def stagedSessionDir(s: SparkSession, d: String): String = {
+    val dir = Paths.get(Scratch.dir("st3_events", d))
+    val ready = dir.resolve("_READY")
+    if (!Files.exists(ready)) {
+      Files.createDirectories(dir)
+      val events = dir.resolve("a_events.parquet")
+      if (!Files.exists(events))
+        Files.copy(Paths.get(d, "events.parquet"), events)
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val tsIsLong = raw.schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType
+      val maxTs = raw.agg(max(col("ts"))).head.get(0) match {
+        case l: java.lang.Long => l.longValue
+        case t: java.sql.Timestamp => t.getTime * 1000000L
+      }
+      val hour = if (tsIsLong) 3600L * 1000000000L else 1L // ns vs Timestamp
+      Seq(("b_sent1.parquet", 4L), ("c_sent2.parquet", 8L)).foreach {
+        case (name, hours) =>
+          val ts =
+            if (tsIsLong) lit(maxTs + hours * hour)
+            else timestamp_micros(lit(maxTs / 1000L + hours * 3600L * 1000000L))
+          val tmp = Files.createTempDirectory("graft_sent")
+          raw.limit(1).withColumn("user_id", lit(-1L)).withColumn("ts", ts)
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = Files.list(tmp).filter(_.getFileName.toString.startsWith("part-"))
+            .findFirst.get
+          Files.copy(part, dir.resolve(name))
+      }
+      // file-source ordering is by modification time: pin it
+      Seq("a_events.parquet", "b_sent1.parquet", "c_sent2.parquet").zipWithIndex
+        .foreach { case (n, i) =>
+          Files.setLastModifiedTime(dir.resolve(n),
+            java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+        }
+      Files.createFile(ready)
+    }
+    dir.toString
+  }
+
   /** Run a streaming plan over the sf dir's event log to completion and
     * hand back the memory-sink table. A fresh checkpoint per invocation
     * makes every call a full, idempotent replay (bench reps included);
@@ -154,6 +202,26 @@ object Extended18 {
       val j = EventStream.funnelJoin(EventStream.readEvents(s, stagedEventsDir(d)))
       runToCompletion(s, j, "st2_mem", OutputMode.Append())
         .orderBy("user_id", "click_id", "purchase_id")
+    }),
+
+    // ---- streaming gap sessions via event-time timeout (append mode) ----
+    // The flatMapGroupsWithState session operator replayed to completion:
+    // sessions close either by a later event past the gap or by their
+    // event-time TIMEOUT once the sentinel waves push the watermark past
+    // end+gap. The emitted set must equal the batch session_window
+    // aggregate of the same log — the oracle restates it as
+    // gaps-and-islands SQL.
+    "st3_stream_sessions" -> ((s, d) => {
+      val dir = stagedSessionDir(s, d)
+      val schema = s.read.parquet(dir).schema
+      val stream = EventStream.normalize(s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir))
+      val sess = EventStream.timedSessions(s, stream, gapSec = 1800L)
+      runToCompletion(s, sess, "st3_mem", OutputMode.Append())
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"), col("sess_start"), col("sess_end"),
+          col("n"), round(col("total"), 2).as("total"))
+        .orderBy("user_id", "sess_start")
     })
   )
 
@@ -176,6 +244,24 @@ object Extended18 {
            ON b.user_id = a.user_id
           AND a.event_type = 'click' AND b.event_type = 'purchase'
           AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
-         ORDER BY 1, 2, 3"""
+         ORDER BY 1, 2, 3""",
+    "st3_stream_sessions" ->
+      """WITH g AS (
+           SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+           FROM events),
+         sess AS (
+           SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM g)
+         SELECT user_id, epoch_us(min(ts)) AS sess_start,
+           epoch_us(max(ts)) AS sess_end,
+           count(*) AS n, round(sum(value), 2) AS total
+         FROM sess GROUP BY user_id, sid
+         ORDER BY user_id, sess_start"""
   )
 }
