@@ -30,7 +30,8 @@ object Registry {
     (Extended16.queries, Extended16.oracleSql),
     (Extended17.queries, Extended17.oracleSql),
     (Extended18.queries, Extended18.oracleSql),
-    (Extended19.queries, Extended19.oracleSql)
+    (Extended19.queries, Extended19.oracleSql),
+    (Extended20.queries, Extended20.oracleSql)
   )
 
   def queries: Map[String, Q] = providers.map(_._1).reduce(_ ++ _)
