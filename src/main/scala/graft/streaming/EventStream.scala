@@ -65,6 +65,37 @@ object EventStream {
       .toDF("user_id", "event_id", "session_id")
   }
 
+  /** Streaming keyed first-wins dedup — the streaming form of the
+    * incremental-dedup batch shape: documents arrive in waves, the first
+    * arrival of each content fingerprint is emitted as the keeper, every
+    * later arrival as a duplicate, exactly once each. State per key is a
+    * single boolean, so the store holds O(distinct keys) bits (a
+    * production deployment bounds it further with the RocksDB provider
+    * and state TTL; semantics are unchanged for duplicates arriving
+    * within the TTL, which is the case near-dup clusters overwhelmingly
+    * are). Within a micro-batch, same-key arrivals are ordered by id, so
+    * a replay of the same waves reproduces the batch min-id-wins
+    * assignment bit-for-bit.
+    */
+  def firstWins(spark: SparkSession, docs: DataFrame, keyCol: String,
+      idCol: String): DataFrame = {
+    import spark.implicits._
+    docs.select(col(keyCol).cast("string"), col(idCol).cast("long"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (Long, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state) =>
+          val ids = rows.map(_._2).toSeq.sorted
+          val out =
+            if (state.exists) ids.map(_ -> "dup")
+            else ids.take(1).map(_ -> "keep") ++ ids.drop(1).map(_ -> "dup")
+          state.update(true)
+          out.iterator
+      }
+      .toDF(idCol, "status")
+  }
+
   /** Watermarked stream-stream interval join: each click pairs with the
     * same user's purchases in the following hour (the streaming form of the
     * batch `e10_funnel` attribution join). Watermarks on both inputs plus

@@ -221,6 +221,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.sameElements(batch))
   }
 
+  test("streaming first-wins dedup emits one keeper per key, exactly once per id") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft-firstwins-src")
+    // wave 1: key A twice, key B once; wave 2: A again (late dup), C twice
+    val wave1 = Seq(("A", 2L), ("A", 1L), ("B", 3L)).toDF("fp", "doc_id")
+    val wave2 = Seq(("A", 4L), ("C", 6L), ("C", 5L)).toDF("fp", "doc_id")
+    TestSpark.stageSingleParquet(wave1, src, "wave1.parquet")
+
+    val stream = spark.readStream.schema(wave1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    val q = EventStream.firstWins(spark, stream, "fp", "doc_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("firstwins_out").start()
+    try {
+      q.processAllAvailable()
+      TestSpark.stageSingleParquet(wave2, src, "wave2.parquet")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("firstwins_out")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // min-id-wins within the first wave a key appears in; every later
+    // arrival — same wave or later wave — is a dup; each id exactly once
+    assert(spark.table("firstwins_out").count() == 6)
+    assert(got == Set(
+      1L -> "keep", 2L -> "dup", 3L -> "keep",
+      4L -> "dup", 5L -> "keep", 6L -> "dup"))
+  }
+
   test("event-time-timeout sessions (flatMapGroupsWithState) == batch session_window") {
     val events = Tables.events(spark, "/root/testdata/sf0.001").cache()
     val src = java.nio.file.Files.createTempDirectory("graft-timeout-src")
