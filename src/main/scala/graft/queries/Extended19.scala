@@ -15,8 +15,8 @@ import graft.route.Route
   * SQL-expressible, but on closed-form topologies they are — a chain's
   * betweenness is `2·j·(n−1−j)` ordered-pair intermediacies and a cycle's
   * closeness is `(n−1)/⌊n²/4⌋` — so building those topologies FROM the
-  * driver's own tables lets the full distributed machinery (per-source
-  * Brandes fixpoints, the multi-landmark Pregel pass) face a hash-exact
+  * driver's own tables lets the full distributed machinery (the batched
+  * multi-source Brandes fixpoints, the multi-landmark Pregel pass) face a hash-exact
   * restatement. All values are small-integer sums / single IEEE
   * divisions, so both engines agree bit-for-bit.
   */
@@ -69,8 +69,10 @@ object Extended19 {
       val path = writeTopology("r1", d, keys, lat = 40.0, cycle = false)
       val g = PropertyGraph.fromGeoJson(s, Seq(path))
       val sources = g.nodes.select("_n").collect().map(_.getString(0)).toSeq
+      // maxLocalEdges = -1 pins the DISTRIBUTED batched-Brandes path under
+      // the oracle — certifying the driver-side gate here would be trivial
       nodeIdOf(s, keys, 40.0)
-        .join(Route.betweenness(s, g, sources, "w"), Seq("_n"))
+        .join(Route.betweenness(s, g, sources, "w", maxLocalEdges = -1), Seq("_n"))
         .select(col("key").as("r_regionkey"), col("betweenness"))
         .orderBy("r_regionkey")
     }),
@@ -84,8 +86,10 @@ object Extended19 {
       val path = writeTopology("r2", d, keys, lat = 50.0, cycle = true)
       val g = PropertyGraph.fromGeoJson(s, Seq(path))
       val landmarks = g.nodes.select("_n").collect().map(_.getString(0)).toSeq
+      // maxLocalEdges = -1: the multi-landmark Pregel pass stays under the
+      // oracle (same reasoning as r1)
       nodeIdOf(s, keys, 50.0)
-        .join(Route.closeness(s, g, landmarks, "w"), Seq("_n"))
+        .join(Route.closeness(s, g, landmarks, "w", maxLocalEdges = -1), Seq("_n"))
         .select(col("key").as("n_nationkey"), col("closeness"))
         .orderBy("n_nationkey")
     })

@@ -170,18 +170,13 @@ object Extended20 {
     // nodes are dropped and broken cycles decay to singletons — which the
     // oracle's mutual-reachability fixpoint reproduces verbatim.
     "r3_scc" -> ((s, d) => {
-      import s.implicits._
       val nodes = t(s, d, "customer")
         .select((col("c_custkey") % 311).as("u")).distinct()
       val edges = nodes.select(col("u"), ((col("u") * 95 + 5) % 311).as("v"))
         .join(nodes.select(col("u").as("v")), Seq("v"), "left_semi")
-      val vr = nodes.as[Long].rdd.coalesce(8).map(u => (u, 0))
-      val er = edges.select("u", "v").as[(Long, Long)].rdd.coalesce(8)
-        .map { case (u, v) => org.apache.spark.graphx.Edge(u, v, 0) }
-      val g = org.apache.spark.graphx.Graph(vr, er, 0)
-      val scc = try {
-        g.stronglyConnectedComponents(numIter = 64).vertices.toDF("node", "scc_id")
-      } finally g.unpersist(blocking = false)
+      // gated dispatch: driver Tarjan here (311 nodes), GraphX
+      // min-label propagation past Route.LocalPathMaxEdges
+      val scc = graft.route.Components.scc(s, nodes, edges.select("u", "v"))
       val sizes = scc.groupBy("scc_id").agg(count(lit(1)).as("scc_size"))
       scc.join(sizes, "scc_id")
         .select(col("node"), col("scc_id"), col("scc_size"))

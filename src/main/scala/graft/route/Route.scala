@@ -260,10 +260,51 @@ object Route {
     * reachability analytics. Returns (_n, landmark, distance).
     */
   def landmarkDistances(spark: SparkSession, g: PropertyGraph,
-      landmarks: Seq[String], weightCol: String): DataFrame = {
+      landmarks: Seq[String], weightCol: String,
+      maxLocalEdges: Long = LocalPathMaxEdges): DataFrame = {
     import spark.implicits._
     require(landmarks.nonEmpty && landmarks.size <= 64,
       "1..64 landmarks per pass (state size is |landmarks| per vertex)")
+    // small-graph gate, same dispatch as [[shortestPath]]: one driver
+    // Dijkstra per landmark over a single collected adjacency beats
+    // |landmarks| maps carried through O(diameter) Pregel supersteps on
+    // interactive-sized graphs. Emits exactly the Pregel pass's rows —
+    // reachable (node, landmark) pairs only, landmark self-distance 0
+    // (RouteSpec pins gated == distributed).
+    if (g.size() <= math.min(maxLocalEdges, LocalPathMaxEdges)) {
+      val nodeSet = g.nodes.select("_n").collect().map(_.getString(0)).toSet
+      val missingL = landmarks.distinct.filterNot(nodeSet)
+      require(missingL.isEmpty,
+        s"unknown landmark node(s): ${missingL.mkString(", ")}")
+      val adjacency = g.edges
+        .filter(col(weightCol).isNotNull)
+        .select(col("_u"), col("_v"), col(weightCol).cast("double"))
+        .collect()
+        .groupBy(_.getString(0))
+        .map { case (k, rows) => k -> rows.map(r => (r.getString(1), r.getDouble(2))) }
+      val out = landmarks.distinct.flatMap { lm =>
+        val dist = scala.collection.mutable.HashMap[String, Double](lm -> 0.0)
+        val done = scala.collection.mutable.HashSet[String]()
+        val pq = scala.collection.mutable.PriorityQueue[(Double, String)]()(
+          Ordering.by[(Double, String), Double](_._1).reverse)
+        pq.enqueue((0.0, lm))
+        while (pq.nonEmpty) {
+          val (d, n) = pq.dequeue()
+          if (!done.contains(n)) {
+            done += n
+            adjacency.getOrElse(n, Array.empty).foreach { case (m, w) =>
+              val nd = d + w
+              if (nd < dist.getOrElse(m, Double.PositiveInfinity)) {
+                dist(m) = nd
+                pq.enqueue((nd, m))
+              }
+            }
+          }
+        }
+        done.iterator.map(n => (n, lm, dist(n)))
+      }
+      return out.toDF("_n", "landmark", "distance")
+    }
     val rg = fromPropertyGraph(g, weightCol)
     val lmVids: Map[VertexId, String] = rg.idOf
       .filter(col("_n").isin(landmarks: _*)).collect()
@@ -305,10 +346,10 @@ object Route {
     * closeness, exact when every node is a landmark).
     */
   def closeness(spark: SparkSession, g: PropertyGraph, landmarks: Seq[String],
-      weightCol: String): DataFrame = {
+      weightCol: String, maxLocalEdges: Long = LocalPathMaxEdges): DataFrame = {
     // exclude only the self pair — a genuine zero-length edge to a
     // landmark is a real distance, not a self-distance
-    landmarkDistances(spark, g, landmarks, weightCol)
+    landmarkDistances(spark, g, landmarks, weightCol, maxLocalEdges)
       .filter(col("_n") =!= col("landmark"))
       .groupBy("_n")
       .agg((lit(1.0) / avg(col("distance"))).as("closeness"))
@@ -354,21 +395,40 @@ object Route {
     * detour that merely rounds to the same cost does not.
     */
   def betweenness(spark: SparkSession, g: PropertyGraph, sources: Seq[String],
-      weightCol: String, maxIters: Int = 200): DataFrame = {
+      weightCol: String, maxIters: Int = 200,
+      maxLocalEdges: Long = LocalPathMaxEdges): DataFrame = {
     require(sources.nonEmpty, "at least one source node")
+    // small-graph gate, same dispatch as [[shortestPath]]: per-source
+    // distributed fixpoints cost O(sources · supersteps) scheduler rounds,
+    // which dwarfs the actual work on interactive-sized graphs. The local
+    // kernel is the exact same Brandes (RouteSpec pins distributed == local
+    // with the gate forced off), so results are identical either way.
+    if (g.size() <= math.min(maxLocalEdges, LocalPathMaxEdges)) {
+      import spark.implicits._
+      val nodeSet = g.nodes.select("_n").collect().map(_.getString(0)).toSet
+      val missing = sources.distinct.filterNot(nodeSet)
+      require(missing.isEmpty,
+        s"unknown source node(s) among: ${sources.distinct.mkString(", ")}")
+      return betweennessLocal(g, weightCol, Some(sources.distinct))
+        .toSeq.toDF("_n", "betweenness")
+    }
     val rg = fromPropertyGraph(g, weightCol)
     val srcVids = rg.idOf.filter(col("_n").isin(sources.distinct: _*))
       .collect().map(_.getLong(1))
     require(srcVids.length == sources.distinct.length,
       s"unknown source node(s) among: ${sources.distinct.mkString(", ")}")
     val base = rg.graph.cache()
-    val sc = spark.sparkContext
     try {
-      // fold per-source dependency scores into one running (vid, score)
-      // RDD, materialized each step so at most two live at once
+      // sources run BATCHED, ≤64 per fixpoint pass (the landmarkDistances
+      // state-size bound): each pass carries a per-source map through the
+      // two phases, so k sources cost two fixpoints' worth of supersteps,
+      // not 2k — on a 1000-executor cluster the superstep barrier, not the
+      // per-message work, is what a multi-source centrality pays for.
+      // Fold per-chunk dependency scores into one running (vid, score)
+      // RDD, materialized each step so at most two live at once.
       var acc: org.apache.spark.rdd.RDD[(VertexId, Double)] = null
-      srcVids.sorted.foreach { s =>
-        val d = brandesDeltas(base, s, maxIters)
+      srcVids.sorted.grouped(64).foreach { chunk =>
+        val d = brandesDeltas(base, chunk.toSet, maxIters)
         val next =
           (if (acc == null) d else acc.union(d).reduceByKey(_ + _)).cache()
         next.count()
@@ -388,26 +448,48 @@ object Route {
     } finally base.unpersist(blocking = false)
   }
 
-  /** One Brandes source: forward (dist, σ) fixpoint, then backward δ
-    * fixpoint; returns the non-zero per-vertex dependency scores, cached
-    * and materialized. Mirrors Pregel's iteration hygiene (previous
+  /** One batched Brandes pass over ≤64 sources: forward (dist, σ) fixpoint,
+    * then backward δ fixpoint, both carrying a per-source map (exactly the
+    * [[landmarkDistances]] state shape). Returns each vertex's dependency
+    * score summed over the chunk's sources (own-source term excluded),
+    * cached and materialized. Mirrors Pregel's iteration hygiene (previous
     * round's vertices unpersisted each step).
+    *
+    * Recount-style fixpoints as in the single-source original: every round
+    * each vertex's state is rebuilt entirely from neighbor messages, so σ
+    * and δ are never double-accumulated across rounds, and the equal-cost
+    * tie rule stays the bit-equality of identical IEEE additions.
     */
-  private def brandesDeltas(graph: GXGraph[String, Double], s: VertexId,
+  private def brandesDeltas(graph: GXGraph[String, Double], srcs: Set[VertexId],
       maxIters: Int): org.apache.spark.rdd.RDD[(VertexId, Double)] = {
-    // ---- phase 1: dist + path count σ ----
-    var fw: GXGraph[(Double, Double), Double] = graph.mapVertices((vid, _) =>
-      if (vid == s) (0.0, 1.0) else (Double.PositiveInfinity, 0.0)).cache()
+    type DS = Map[VertexId, (Double, Double)] // src -> (dist, sigma)
+    // ---- phase 1: dist + path count σ, all sources at once ----
+    var fw: GXGraph[DS, Double] = graph.mapVertices((vid, _) =>
+      if (srcs.contains(vid)) Map(vid -> ((0.0, 1.0))) else Map.empty[VertexId, (Double, Double)]).cache()
+    def mergeDS(a: DS, b: DS): DS =
+      (a.keySet ++ b.keySet).iterator.map { k =>
+        (a.get(k), b.get(k)) match {
+          case (Some(x), None) => k -> x
+          case (None, Some(y)) => k -> y
+          case (Some(x), Some(y)) =>
+            k -> (if (x._1 < y._1) x
+                  else if (y._1 < x._1) y
+                  else (x._1, x._2 + y._2))
+          case (None, None) => throw new IllegalStateException("unreachable")
+        }
+      }.toMap
     var iter = 0
     var changed = true
     while (changed && iter < maxIters) {
-      val msgs = fw.aggregateMessages[(Double, Double)](
-        ctx => if (!ctx.srcAttr._1.isInfinite)
-          ctx.sendToDst((ctx.srcAttr._1 + ctx.attr, ctx.srcAttr._2)),
-        (a, b) =>
-          if (a._1 < b._1) a else if (b._1 < a._1) b else (a._1, a._2 + b._2))
+      val msgs = fw.aggregateMessages[DS](
+        ctx => if (ctx.srcAttr.nonEmpty)
+          ctx.sendToDst(ctx.srcAttr.map { case (k, (d, sig)) =>
+            k -> ((d + ctx.attr, sig))
+          }),
+        mergeDS)
       val next = fw.outerJoinVertices(msgs) { (vid, _, m) =>
-        if (vid == s) (0.0, 1.0) else m.getOrElse((Double.PositiveInfinity, 0.0))
+        val recount = m.getOrElse(Map.empty[VertexId, (Double, Double)])
+        if (srcs.contains(vid)) recount + (vid -> ((0.0, 1.0))) else recount
       }.cache()
       changed = next.vertices.join(fw.vertices)
         .filter { case (_, (a, b)) => a != b }.count() > 0
@@ -416,22 +498,30 @@ object Route {
       fw = next
       iter += 1
     }
-    // ---- phase 2: dependency δ back up the shortest-path DAG ----
-    var bw: GXGraph[((Double, Double), Double), Double] =
-      fw.mapVertices((_, ds) => (ds, 0.0)).cache()
+    // ---- phase 2: dependency δ back up each source's shortest-path DAG ----
+    type Deltas = Map[VertexId, Double]
+    var bw: GXGraph[(DS, Deltas), Double] =
+      fw.mapVertices((_, ds) => (ds, Map.empty[VertexId, Double])).cache()
     changed = true
     iter = 0
     while (changed && iter < maxIters) {
-      val msgs = bw.aggregateMessages[Double](
+      val msgs = bw.aggregateMessages[Deltas](
         ctx => {
-          val (sd, ssig) = ctx.srcAttr._1
-          val (dd, dsig) = ctx.dstAttr._1
-          if (!sd.isInfinite && !dd.isInfinite && dsig > 0 && sd + ctx.attr == dd)
-            ctx.sendToSrc(ssig / dsig * (1.0 + ctx.dstAttr._2))
+          val contrib = ctx.srcAttr._1.flatMap { case (k, (sd, ssig)) =>
+            ctx.dstAttr._1.get(k) match {
+              case Some((dd, dsig)) if dsig > 0 && sd + ctx.attr == dd =>
+                Some(k -> ssig / dsig *
+                  (1.0 + ctx.dstAttr._2.getOrElse(k, 0.0)))
+              case _ => None
+            }
+          }
+          if (contrib.nonEmpty) ctx.sendToSrc(contrib)
         },
-        _ + _)
+        (a, b) => (a.keySet ++ b.keySet).iterator.map { k =>
+          k -> (a.getOrElse(k, 0.0) + b.getOrElse(k, 0.0))
+        }.toMap)
       val next = bw.outerJoinVertices(msgs)((_, old, m) =>
-        (old._1, m.getOrElse(0.0))).cache()
+        (old._1, m.getOrElse(Map.empty[VertexId, Double]))).cache()
       changed = next.vertices.join(bw.vertices)
         .filter { case (_, (a, b)) => a._2 != b._2 }.count() > 0
       bw.unpersistVertices(blocking = false)
@@ -440,8 +530,11 @@ object Route {
       iter += 1
     }
     val deltas = bw.vertices
-      .filter { case (vid, (_, delta)) => vid != s && delta != 0.0 }
-      .mapValues { case (_, delta) => delta }.cache()
+      .flatMap { case (vid, (_, dmap)) =>
+        val total = dmap.iterator
+          .collect { case (k, d) if k != vid => d }.sum
+        if (total != 0.0) Iterator((vid, total)) else Iterator.empty
+      }.cache()
     deltas.count()
     fw.unpersistVertices(blocking = false)
     fw.edges.unpersist(blocking = false)

@@ -117,7 +117,8 @@ class RouteSpec extends AnyFunSuite {
 
   test("multi-landmark distances agree with point-to-point Dijkstra") {
     val landmarks = Seq(leafWest, Fixture.TestNode1)
-    val dists = Route.landmarkDistances(spark, g, landmarks, "_length")
+    val dists = Route.landmarkDistances(spark, g, landmarks, "_length",
+        maxLocalEdges = -1)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
     // distance leafWest -> TestNode1 equals the dedicated query
     val Some((_, cost)) = Route.shortestPathPregel(g, leafWest, Fixture.TestNode1, "_length")
@@ -128,13 +129,43 @@ class RouteSpec extends AnyFunSuite {
     assert(math.abs(dists((Fixture.TestNode1, leafWest)) - dists((leafWest, Fixture.TestNode1))) < 1e-9)
     // every node reaches both landmarks (connected star)
     assert(dists.size == 5 * 2)
-    val close = Route.closeness(spark, g, landmarks, "_length").collect()
+    val close = Route.closeness(spark, g, landmarks, "_length",
+      maxLocalEdges = -1).collect()
     assert(close.nonEmpty && close.forall(_.getDouble(1) > 0))
+  }
+
+  test("gated landmarkDistances equals the Pregel pass row-for-row") {
+    val landmarks = Seq(leafWest, Fixture.TestNode1)
+    def rows(maxLocal: Long) =
+      Route.landmarkDistances(spark, g, landmarks, "_length", maxLocal)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val local = rows(Long.MaxValue)  // gate on: driver Dijkstra per landmark
+    val pregel = rows(-1)            // gate off: distributed pass
+    assert(local.keySet == pregel.keySet)
+    local.foreach { case (k, d) =>
+      assert(math.abs(d - pregel(k)) < 1e-12, s"$k: $d vs ${pregel(k)}")
+    }
+  }
+
+  test("gated betweenness equals the distributed batched-Brandes scores") {
+    val all = g.nodes.select("_n").collect().map(_.getString(0)).toSeq
+    def scores(maxLocal: Long) =
+      Route.betweenness(spark, g, all, "_length", maxLocalEdges = maxLocal)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val gated = scores(Long.MaxValue)
+    val dist = scores(-1)
+    assert(gated.keySet == dist.keySet)
+    gated.foreach { case (n, v) =>
+      assert(math.abs(v - dist(n)) < 1e-9, s"$n: $v vs ${dist(n)}")
+    }
   }
 
   test("betweenness: distributed fixpoint equals exact local Brandes on the fixture") {
     val all = g.nodes.select("_n").collect().map(_.getString(0)).toSeq
-    val dist = Route.betweenness(spark, g, all, "_length").collect()
+    // maxLocalEdges = -1 forces the batched distributed path — the gated
+    // default would dispatch this fixture-sized graph to the local kernel
+    // and the comparison would be local-vs-local
+    val dist = Route.betweenness(spark, g, all, "_length", maxLocalEdges = -1).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     val local = Route.betweennessLocal(g, "_length")
     assert(dist.keySet == local.keySet)
@@ -164,7 +195,8 @@ class RouteSpec extends AnyFunSuite {
       (intra ++ bridge).toDF("_u", "_v", "_length"))
     // a 4-of-11 landmark sample (two per side) must already separate the
     // bottleneck trio from the clique interiors
-    val sampled = Route.betweenness(spark, bg, Seq("a1", "a2", "b1", "b2"), "_length")
+    val sampled = Route.betweenness(spark, bg, Seq("a1", "a2", "b1", "b2"), "_length",
+        maxLocalEdges = -1)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(sampled.size == 11)
     val bottleneck = Set("a0", "x", "b0")
