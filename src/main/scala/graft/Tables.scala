@@ -25,11 +25,16 @@ object Tables {
 
   /** long-nanos ts column → TimestampType (µs, UTC); no-op otherwise. */
   def normalizeTs(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.LongType
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _        => df
+      // tz-less parquet timestamps read as NTZ; watermarks/windows demand
+      // TIMESTAMP (LTZ). The session TZ is pinned to UTC, so this cast
+      // reads the wall-clock as the same instant DuckDB's epoch() of the
+      // naive value produces — batch, streaming, and oracle stay aligned.
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
     }
   }
 

@@ -148,16 +148,28 @@ class StreamingSpec extends AnyFunSuite {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
       d2.resolve("events.parquet"))
-    val raw = spark.read.parquet(dir) // ts is long nanos here
-    val maxTs = raw.agg(max("ts")).head.getLong(0)
+    // sentinel rows must carry ts in the SAME flavor as the staged file
+    // (long nanos / NTZ / LTZ), or the file stream's fixed schema would
+    // mis-read the appended part-file — derive them from the source frame
+    val raw = spark.read.parquet(dir)
+    val maxMicros = Tables.normalizeTs(raw)
+      .agg(max(unix_micros(col("ts")))).head.getLong(0)
     val sentinelUser = 9999999L
-    val farFuture = maxTs + 30L * 24 * 3600 * 1000000000L
-    import spark.implicits._
-    val sentinel = Seq(
-      (-1L, farFuture, sentinelUser, "click", 0.0, "{}"),
-      (-2L, farFuture, sentinelUser, "purchase", 0.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-    sentinel.select(raw.columns.map(col): _*)
+    val farMicros = maxMicros + 30L * 24 * 3600 * 1000000L
+    val farCol = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => lit(farMicros * 1000L)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        timestamp_micros(lit(farMicros))
+          .cast(org.apache.spark.sql.types.TimestampNTZType)
+      case _ => timestamp_micros(lit(farMicros))
+    }
+    def sent(id: Long, typ: String) = raw.limit(1)
+      .withColumn("event_id", lit(id)).withColumn("ts", farCol)
+      .withColumn("user_id", lit(sentinelUser))
+      .withColumn("event_type", lit(typ))
+      .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+    sent(-1L, "click").union(sent(-2L, "purchase"))
+      .select(raw.columns.map(col): _*)
       .write.mode("append").parquet(d2.toString)
 
     val q = EventStream.funnelLeftJoin(EventStream.readEvents(spark, d2.toString))
