@@ -468,9 +468,17 @@ object Dedup {
         nEdges / 1000000L + 1L)).toInt
       val edges = p.rdd.map(r => GXEdge(r.getLong(0), r.getLong(1), 1))
         .coalesce(parts)
-      GXGraph.fromEdges(edges, 0).connectedComponents()
-        .vertices.toDF("id", "cluster")
-        .localCheckpoint()
+      val g = GXGraph.fromEdges(edges, 0)
+      val cc = g.connectedComponents()
+      // the eager localCheckpoint materializes the labels BEFORE the two
+      // GraphX graphs (both internally cached) are released — without the
+      // unpersists every invocation stranded a graph pair in executor
+      // memory for the life of the session (the leak class the bench's
+      // clearCache() cannot reach: RDD caches are not catalog entries)
+      val out = cc.vertices.toDF("id", "cluster").localCheckpoint()
+      cc.unpersist(blocking = false)
+      g.unpersist(blocking = false)
+      out
     } finally p.unpersist(blocking = false)
   }
 
@@ -485,6 +493,28 @@ object Dedup {
     df.join(comp, df(idCol) === comp("id"), "left")
       .filter(col("cluster").isNull || col("cluster") === col(idCol))
       .drop("id", "cluster")
+  }
+
+  /** [[dedupNear]] with a QUALITY-canonical representative: each cluster
+    * keeps its highest-`scoreCol` member (ties → smallest id) instead of
+    * its smallest id — the production dedup policy (keep the best copy,
+    * not the first-crawled one). `idCol` and `scoreCol` must be numeric
+    * and non-null; the per-cluster argmax is one `max(struct(score,-id))`
+    * aggregation, so the selection is a single co-partitioned pass with
+    * map-side partials — no window sort over cluster members.
+    */
+  def dedupNearKeepBest(df: DataFrame, idCol: String, textCol: String,
+      scoreCol: String, threshold: Double = 0.6): DataFrame = {
+    val pairs = minhashNearDups(df, idCol, textCol, threshold)
+    val comp = clusters(pairs)
+    val withC = df.join(comp, df(idCol) === comp("id"), "left")
+      .withColumn("_cl", coalesce(col("cluster"), col(idCol)))
+    val best = withC.groupBy("_cl")
+      .agg(max(struct(col(scoreCol), (lit(0L) - col(idCol)).as("_nid"))).as("_b"))
+      .select(col("_cl"), (lit(0L) - col("_b._nid")).as("_keep"))
+    withC.join(best, "_cl")
+      .filter(col(idCol) === col("_keep"))
+      .drop("id", "cluster", "_cl", "_keep")
   }
 
   /** Adaptive exact Jaccard: bitset path when the shingle vocabulary is

@@ -119,18 +119,27 @@ object Extended18 {
       if (!Files.exists(events))
         Files.copy(Paths.get(d, "events.parquet"), events)
       val raw = s.read.parquet(s"$d/events.parquet")
-      val tsIsLong = raw.schema("ts").dataType ==
-        org.apache.spark.sql.types.LongType
+      val tsType = raw.schema("ts").dataType
+      val tsIsLong = tsType == org.apache.spark.sql.types.LongType
+      val tsIsNtz = tsType == org.apache.spark.sql.types.TimestampNTZType
       val maxTs = raw.agg(max(col("ts"))).head.get(0) match {
         case l: java.lang.Long => l.longValue
         case t: java.sql.Timestamp => t.getTime * 1000000L
+        case ldt: java.time.LocalDateTime => // NTZ read: wall clock IS UTC
+          ldt.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L +
+            ldt.getNano
       }
       val hour = if (tsIsLong) 3600L * 1000000000L else 1L // ns vs Timestamp
       Seq(("b_sent1.parquet", 4L), ("c_sent2.parquet", 8L)).foreach {
         case (name, hours) =>
+          val ltz = timestamp_micros(lit(maxTs / 1000L + hours * 3600L * 1000000L))
           val ts =
             if (tsIsLong) lit(maxTs + hours * hour)
-            else timestamp_micros(lit(maxTs / 1000L + hours * 3600L * 1000000L))
+            // sentinel files must carry the SAME parquet timestamp flavor
+            // as the copied event log, or the file source's fixed schema
+            // would mis-read them; UTC session ⇒ the cast keeps the instant
+            else if (tsIsNtz) ltz.cast(org.apache.spark.sql.types.TimestampNTZType)
+            else ltz
           val tmp = Files.createTempDirectory("graft_sent")
           raw.limit(1).withColumn("user_id", lit(-1L)).withColumn("ts", ts)
             .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -155,7 +164,7 @@ object Extended18 {
     * the sink table is tiny relative to the stream, which is the whole
     * point of the streaming operators.
     */
-  private def runToCompletion(s: SparkSession, out: DataFrame, name: String,
+  private[queries] def runToCompletion(s: SparkSession, out: DataFrame, name: String,
       mode: OutputMode): DataFrame = {
     s.catalog.dropTempView(name)
     val ckpt = Files.createTempDirectory(s"graft_ckpt_$name").toString

@@ -163,7 +163,7 @@ object LlmQueries {
     * Defines CTEs: w (words), g (distinct 2-gram shingles), hx (32-bit
     * mixed shingle hashes), sg (signature), kb (band → key string).
     */
-  private def minhashSigCtes: String = {
+  private[queries] def minhashSigCtes: String = {
     val (as, bs) = Dedup.hashCoeffs(64)
     s"""w AS (
          SELECT doc_id,

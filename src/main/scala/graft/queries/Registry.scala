@@ -31,7 +31,10 @@ object Registry {
     (Extended17.queries, Extended17.oracleSql),
     (Extended18.queries, Extended18.oracleSql),
     (Extended19.queries, Extended19.oracleSql),
-    (Extended20.queries, Extended20.oracleSql)
+    (Extended20.queries, Extended20.oracleSql),
+    (Extended21.queries, Extended21.oracleSql),
+    (Extended22.queries, Extended22.oracleSql),
+    (Extended23.queries, Extended23.oracleSql)
   )
 
   def queries: Map[String, Q] = providers.map(_._1).reduce(_ ++ _)

@@ -365,9 +365,61 @@ object Route {
     val edges = g.edges
       .select(xxhash64(col("_u")).as("src"), xxhash64(col("_v")).as("dst"))
       .rdd.map(r => GXEdge(r.getLong(0), r.getLong(1), 1.0))
-    val ranks = GXGraph(vertices, edges).pageRank(tol).vertices
-    val ranksDf = ranks.toDF("_vid", "rank")
+    val g0 = GXGraph(vertices, edges)
+    val pr = g0.pageRank(tol)
+    // materialize the small per-node ranks, then release BOTH internally
+    // cached GraphX graphs — without this every call stranded a graph
+    // pair in executor memory for the session (invisible to clearCache)
+    val ranksDf = pr.vertices.toDF("_vid", "rank").localCheckpoint()
+    pr.unpersist(blocking = false)
+    g0.unpersist(blocking = false)
     idOf.join(ranksDf, "_vid").select("_n", "rank")
+  }
+
+  /** Fixed-iteration damped PageRank as a pure DataFrame fixpoint —
+    * the Catalyst-native twin of [[pageRank]]'s GraphX path. `nodes` is a
+    * one-column (`node`) relation, `edges` a (`src`, `dst`) relation over
+    * the same ids; returns (node, rank).
+    *
+    * Semantics (the classic power-iteration form): every rank starts at
+    * 1.0; each round every node receives Σ rank(u)/outdeg(u) over its
+    * in-edges and becomes `resetProb + (1-resetProb)·Σ`. Dangling-node
+    * mass is dropped, not redistributed (nodes with no in-edges hold the
+    * floor `resetProb` from round 1 on). Each round is one co-partitioned
+    * join on `src` plus one aggregation on `dst` — no global ordering
+    * anywhere, so the plan scales with the shuffle, and AQE is free to
+    * re-plan each round. The loop deliberately holds NO persisted state
+    * (a localCheckpoint per call would strand unreleasable blocks for the
+    * session's lifetime — the leak class the j12 cache fix removed); at
+    * real scale persist `edges` yourself and cut lineage every ~10 rounds
+    * with an explicit checkpoint dir, or use the GraphX [[pageRank]] path
+    * whose Pregel loop manages its own persistence.
+    *
+    * Determinism note: per-node contributions are summed in shuffle
+    * arrival order, so ranks are reproducible bitwise only where every
+    * in-degree is ≤ 1 (or up to float-sum reassociation elsewhere) — the
+    * r4 oracle query runs on a chain precisely so the gate is bit-exact.
+    */
+  def pageRankStatic(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
+      iters: Int, resetProb: Double = 0.15): DataFrame = {
+    require(iters >= 0, s"iters must be non-negative, got $iters")
+    require(resetProb > 0 && resetProb < 1, s"resetProb in (0,1), got $resetProb")
+    val damp = 1.0 - resetProb
+    val outDeg = edges.groupBy("src").agg(count(lit(1)).as("_od"))
+    val contribEdges = edges.join(outDeg, "src")
+    var ranks = nodes.select(col("node"), lit(1.0).as("rank"))
+    for (_ <- 1 to iters) {
+      val contribs = contribEdges
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst"), (col("rank") / col("_od")).as("_c"))
+        .groupBy("dst").agg(sum("_c").as("_csum"))
+      ranks = nodes
+        .join(contribs, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(resetProb) + lit(damp) * coalesce(col("_csum"), lit(0.0)))
+            .as("rank"))
+    }
+    ranks
   }
 
   /** Betweenness centrality (weighted Brandes) accumulated over the given
