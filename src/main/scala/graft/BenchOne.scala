@@ -18,15 +18,22 @@ object BenchOne {
     Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = SparkEntry.queries(name)
     // one throwaway job so session/codegen warm-up is not billed to rep 0
     spark.range(1000).selectExpr("sum(id)").collect()
-    val times = (0 until reps).map { _ =>
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
-      (System.nanoTime() - t0) / 1e9
+    // comma-separated names replay a slice of the sweep in ONE session,
+    // with the sweep's own inter-query hygiene — the probe for "query A
+    // poisons query B" interactions that per-query runs can't see
+    name.split(',').map(_.trim).filter(_.nonEmpty).foreach { q =>
+      val fn = SparkEntry.queries(q)
+      val times = (0 until reps).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      spark.catalog.clearCache()
+      System.gc()
+      println(s"""[benchone] {"query":"$q","reps":[${times.map(t => f"$t%.3f").mkString(",")}]}""")
     }
-    println(s"""[benchone] {"query":"$name","reps":[${times.map(t => f"$t%.3f").mkString(",")}]}""")
     spark.stop()
   }
 }

@@ -136,12 +136,19 @@ object Extended2 {
       val edges = pairs.as[(Long, Long)].rdd
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val g = org.apache.spark.graphx.Graph.fromEdgeTuples(edges, 0)
-          .partitionBy(org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
+        val g0 = org.apache.spark.graphx.Graph.fromEdgeTuples(edges, 0)
+        val g = g0.partitionBy(
+          org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
         // pairs is already distinct with a < b — the canonical form — so the
         // general triangleCount's extra dedup + orientation shuffle is skipped
-        val n = org.apache.spark.graphx.lib.TriangleCount.runPreCanonicalized(g)
-          .vertices.map(_._2.toLong).fold(0L)(_ + _) / 3
+        val tcg = org.apache.spark.graphx.lib.TriangleCount.runPreCanonicalized(g)
+        val n = tcg.vertices.map(_._2.toLong).fold(0L)(_ + _) / 3
+        // the fold is eager: release every internally cached GraphX graph
+        // (pre-partition, partitioned, and the count result) before
+        // returning — each was a per-invocation executor-memory leak
+        tcg.unpersist(blocking = false)
+        g.unpersist(blocking = false)
+        g0.unpersist(blocking = false)
         s.range(1).select(lit(n).as("n_triangles"))
       } finally edges.unpersist(blocking = false)
     })

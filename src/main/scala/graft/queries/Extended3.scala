@@ -137,9 +137,13 @@ object Extended3 {
         .select("e.a", "e.b")
       val g = org.apache.spark.graphx.Graph
         .fromEdgeTuples(ed.as[(Long, Long)].rdd.coalesce(8), 0)
-      g.connectedComponents().vertices
-        .toDF("o_orderkey", "component")
-        .orderBy("o_orderkey")
+      val cc = g.connectedComponents()
+      // materialize labels, release both cached GraphX graphs (per-rep
+      // leak otherwise — RDD caches survive the bench's clearCache())
+      val labels = cc.vertices.toDF("o_orderkey", "component").localCheckpoint()
+      cc.unpersist(blocking = false)
+      g.unpersist(blocking = false)
+      labels.orderBy("o_orderkey")
     })
   )
 
