@@ -113,6 +113,38 @@ object Main {
           org.apache.spark.sql.functions.col("_n"))
         .show(50, truncate = false)
 
+    // k-core of the street graph (undirected view) — nodes surviving
+    // iterative peeling at the given k
+    case "kcore" :: pkg :: k :: Nil =>
+      import org.apache.spark.sql.functions.col
+      val g = GraphPackage.load(spark, pkg)
+      val core = graft.route.Components.kCore(spark,
+        g.edges.select(col("_u"), col("_v")), k.toInt)
+      println(s"k=${k.toInt} core size: ${core.count()}")
+      core.orderBy("node").show(50, truncate = false)
+
+    // per-node clustering coefficients, densest neighborhoods first
+    case "clustering" :: pkg :: Nil =>
+      import org.apache.spark.sql.functions.{col, xxhash64}
+      val g = GraphPackage.load(spark, pkg)
+      val ids = g.nodes.select(col("_n"), xxhash64(col("_n")).as("_vid"))
+      val co = graft.route.Components.clusteringCoefficient(spark,
+        g.edges.select(xxhash64(col("_u")).as("u"), xxhash64(col("_v")).as("v")))
+      ids.join(co, ids("_vid") === co("node"))
+        .select(col("_n"), col("degree"), col("triangles"), col("coeff"))
+        .orderBy(col("coeff").desc, col("_n")).show(50, truncate = false)
+
+    // fixed-iteration DataFrame PageRank (dangling mass dropped)
+    case "pagerank" :: pkg :: iters :: Nil =>
+      import org.apache.spark.sql.functions.{col, xxhash64}
+      val g = GraphPackage.load(spark, pkg)
+      val ids = g.nodes.select(col("_n"), xxhash64(col("_n")).as("node"))
+      val pr = Route.pageRankStatic(spark, ids.select("node"),
+        g.edges.select(xxhash64(col("_u")).as("src"), xxhash64(col("_v")).as("dst")),
+        iters.toInt)
+      ids.join(pr, "node").select(col("_n"), col("rank"))
+        .orderBy(col("rank").desc, col("_n")).show(50, truncate = false)
+
     case _ =>
       System.err.println(
         """usage:
@@ -123,6 +155,9 @@ object Main {
           |  route <pkg> <u> <v> [weightCol]
           |  landmarks <pkg> <weightCol> <node...>
           |  betweenness <pkg> <weightCol> <source...>
+          |  kcore <pkg> <k>
+          |  clustering <pkg>
+          |  pagerank <pkg> <iters>
           |  export-gpkg <pkg> <out.gpkg>
           |  import-gpkg <in.gpkg>
           |  export-gpkg-parquet <pkg> <outdir>
