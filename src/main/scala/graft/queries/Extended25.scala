@@ -1,0 +1,118 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.Tables.t
+import graft.streaming.EventStream
+
+/** Round-6 surface extensions, batch 25: streaming stateful top-k under
+  * the oracle gate (exact incremental per-key top-k replayed over two
+  * waves — cross-batch state must reproduce the batch window form), and
+  * sliding-window DISTINCT counting (the non-mergeable sliding aggregate,
+  * via the BandJoin operator rather than a window sort).
+  */
+object Extended25 {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Stage the event log as two wave files by event_id parity with pinned
+    * increasing mtimes, once per (process, sf dir). */
+  private def stagedEventWaves(s: SparkSession, d: String): String = {
+    val dir = Paths.get(Scratch.dir("st5_events", d))
+    val ready = dir.resolve("_READY")
+    if (!Files.exists(ready)) {
+      Files.createDirectories(dir)
+      val ev = s.read.parquet(s"$d/events.parquet")
+      Seq(("a_wave0.parquet", 0), ("b_wave1.parquet", 1)).foreach {
+        case (name, par) =>
+          val tmp = Files.createTempDirectory("graft_st5")
+          ev.filter(col("event_id") % 2 === par).coalesce(1)
+            .write.mode("overwrite").parquet(tmp.toString)
+          val part = Files.list(tmp)
+            .filter(_.getFileName.toString.startsWith("part-")).findFirst.get
+          Files.copy(part, dir.resolve(name))
+      }
+      Seq("a_wave0.parquet", "b_wave1.parquet").zipWithIndex.foreach {
+        case (n, i) =>
+          Files.setLastModifiedTime(dir.resolve(n),
+            java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+      Files.createFile(ready)
+    }
+    dir.toString
+  }
+
+  val queries: Map[String, Q] = Map(
+    // ---- st5: streaming running top-k, two-wave replay ----
+    // Per event type, the exact top-3 (value desc, id asc) maintained in
+    // mapGroupsWithState across two micro-batches; the final emission per
+    // key (its max n_seen row — n_seen strictly grows) must equal the
+    // batch window top-3 of the whole log. Update-mode memory sink keeps
+    // every batch's emission, which is what lets the replay prove the
+    // cross-batch state rather than a single-batch shortcut.
+    "st5_stream_topk" -> ((s, d) => {
+      val dir = stagedEventWaves(s, d)
+      val schema = s.read.parquet(dir).schema
+      val stream = EventStream.normalize(s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir))
+      val tk = EventStream.runningTopK(s, stream, 3)
+      val mem = Extended18.runToCompletion(s, tk, "st5_mem", OutputMode.Update())
+      // final state per key = its max-n_seen emission; argmax via one
+      // struct max (n_seen strictly grows, so arrays never tie-compare) —
+      // a self-join on the memory sink would conflict on attribute ids
+      mem.groupBy("event_type")
+        .agg(max(struct(col("n_seen"), col("top_values"), col("top_ids"))).as("m"))
+        .select(col("event_type"), posexplode(expr(
+          "zip_with(m.top_values, m.top_ids, (v, i) -> struct(v AS value, i AS event_id))")))
+        .select(col("event_type"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.value").as("value"), col("col.event_id").as("event_id"))
+        .orderBy("event_type", "rank")
+    }),
+
+    // ---- e20: sliding-window distinct users ----
+    // Distinct users in the trailing hour, evaluated at every 30-minute
+    // mark present in the log. DISTINCT does not merge across overlapping
+    // windows (unlike the e5 sums), so the scale shape is a band join of
+    // events against the (tiny) mark relation — each event meets the ≤ 3
+    // marks whose window can hold it via the bucketed BandJoin, never a
+    // window sort or an O(marks × events) theta join.
+    "e20_sliding_distinct" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), unix_timestamp(col("ts")).as("sec"))
+      val marks = ev
+        .select((floor(col("sec") / 1800) * 1800).cast("long").as("m"))
+        .distinct()
+      graft.operators.BandJoin.join(ev, marks, "sec", "m", 3600.0)
+        .filter(col("sec") > col("m") - 3600 && col("sec") <= col("m"))
+        .groupBy(col("m").as("win_end"))
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("win_end")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "st5_stream_topk" ->
+      """WITH r AS (
+           SELECT event_type, value, event_id,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY value DESC, event_id ASC) AS rn
+           FROM events)
+         SELECT event_type, CAST(rn AS INT) AS rank, value, event_id
+         FROM r WHERE rn <= 3 ORDER BY event_type, rank""",
+    "e20_sliding_distinct" ->
+      """WITH ev AS (
+           SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+           FROM events),
+         marks AS (
+           SELECT DISTINCT CAST(floor(sec / 1800) * 1800 AS BIGINT) AS m
+           FROM ev)
+         SELECT m.m AS win_end, count(DISTINCT e.user_id) AS n_users
+         FROM marks m JOIN ev e
+           ON e.sec > m.m - 3600 AND e.sec <= m.m
+         GROUP BY m.m ORDER BY win_end"""
+  )
+}

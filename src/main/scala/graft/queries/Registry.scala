@@ -35,7 +35,8 @@ object Registry {
     (Extended21.queries, Extended21.oracleSql),
     (Extended22.queries, Extended22.oracleSql),
     (Extended23.queries, Extended23.oracleSql),
-    (Extended24.queries, Extended24.oracleSql)
+    (Extended24.queries, Extended24.oracleSql),
+    (Extended25.queries, Extended25.oracleSql)
   )
 
   def queries: Map[String, Q] = providers.map(_._1).reduce(_ ++ _)

@@ -77,6 +77,38 @@ object EventStream {
     * a replay of the same waves reproduces the batch min-id-wins
     * assignment bit-for-bit.
     */
+  /** Streaming per-key running top-k: state is the exact top-k of
+    * everything absorbed so far under (value desc, id asc) — incremental
+    * maintenance is exact for a total order, so the final emission per
+    * key equals the batch top-k regardless of arrival order. Each
+    * micro-batch emits (key, n_seen, top values, top ids) in Update
+    * mode; `n_seen` strictly grows, so a replay's final state is the row
+    * with the key's max `n_seen`. State is O(keys × k).
+    */
+  case class TopKState(n: Long, top: List[(Double, Long)])
+
+  def runningTopK(spark: SparkSession, events: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    require(k > 0, s"k must be positive, got $k")
+    events.select(col("event_type"), col("value"), col("event_id"))
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[TopKState, (String, Long, Seq[Double], Seq[Long])](
+        GroupStateTimeout.NoTimeout) { case (key, rows, state) =>
+        val prev = state.getOption.getOrElse(TopKState(0L, Nil))
+        var n = prev.n
+        var top = prev.top
+        rows.foreach { case (_, v, id) =>
+          n += 1
+          top = ((v, id) :: top)
+            .sortBy { case (vv, ii) => (-vv, ii) }.take(k)
+        }
+        state.update(TopKState(n, top))
+        (key, n, top.map(_._1), top.map(_._2))
+      }
+      .toDF("event_type", "n_seen", "top_values", "top_ids")
+  }
+
   def firstWins(spark: SparkSession, docs: DataFrame, keyCol: String,
       idCol: String): DataFrame = {
     import spark.implicits._

@@ -262,6 +262,44 @@ class StreamingSpec extends AnyFunSuite {
       4L -> "dup", 5L -> "keep", 6L -> "dup"))
   }
 
+  test("streaming running top-k final state equals the batch window top-k") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft-topk-src")
+    // wave 2 displaces part of wave 1's top set and ties on value (id asc)
+    val wave1 = Seq(("A", 5.0, 1L), ("A", 3.0, 2L), ("A", 4.0, 3L),
+      ("B", 1.0, 4L)).toDF("event_type", "value", "event_id")
+    val wave2 = Seq(("A", 6.0, 5L), ("A", 4.0, 0L), ("B", 1.0, 6L))
+      .toDF("event_type", "value", "event_id")
+    TestSpark.stageSingleParquet(wave1, src, "wave1.parquet")
+
+    val stream = spark.readStream.schema(wave1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    val q = EventStream.runningTopK(spark, stream, 2)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("topk_out").start()
+    try {
+      q.processAllAvailable()
+      TestSpark.stageSingleParquet(wave2, src, "wave2.parquet")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val mem = spark.table("topk_out")
+    val fin = mem.groupBy("event_type")
+      .agg(max(struct(col("n_seen"), col("top_values"), col("top_ids"))).as("m"))
+      .select(col("event_type"), col("m.top_values").as("top_values"),
+        col("m.top_ids").as("top_ids"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getSeq[Double](1).toList, r.getSeq[Long](2).toList))
+      .toMap
+    // A: 6.0#5 arrives in wave 2 and displaces; 5.0#1 stays second
+    assert(fin("A")._1 == Seq(6.0, 5.0) && fin("A")._2 == Seq(5L, 1L))
+    // B: both 1.0s, tie by id asc
+    assert(fin("B")._1 == Seq(1.0, 1.0) && fin("B")._2 == Seq(4L, 6L))
+    // each key emitted once per wave it appeared in
+    assert(mem.count() == 4)
+  }
+
   test("event-time-timeout sessions (flatMapGroupsWithState) == batch session_window") {
     val events = Tables.events(spark, "/root/testdata/sf0.001").cache()
     val src = java.nio.file.Files.createTempDirectory("graft-timeout-src")
