@@ -72,6 +72,23 @@ object Extended25 {
         .orderBy("event_type", "rank")
     }),
 
+    // ---- f24: array_sort with a comparator lambda ----
+    // The custom-comparator HOF (f19 covers the predicate/fold family):
+    // words ordered by (length desc, alpha asc) entirely inside the
+    // codegen'd expression — no explode/window round trip. The oracle
+    // restates the comparator as a sortable struct key, proving the
+    // lambda implements exactly that total order.
+    "f24_comparator_sort" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), expr(Extended9.toks).as("ws"))
+        .select(col("doc_id"), expr(
+          """array_join(slice(array_sort(array_distinct(ws), (l, r) ->
+             CASE WHEN length(l) > length(r) THEN -1
+                  WHEN length(l) < length(r) THEN 1
+                  WHEN l < r THEN -1 WHEN l > r THEN 1 ELSE 0 END),
+             1, 5), ' ')""").as("top5"))
+        .orderBy("doc_id")),
+
     // ---- e20: sliding-window distinct users ----
     // Distinct users in the trailing hour, evaluated at every 30-minute
     // mark present in the log. DISTINCT does not merge across overlapping
@@ -103,6 +120,19 @@ object Extended25 {
            FROM events)
          SELECT event_type, CAST(rn AS INT) AS rank, value, event_id
          FROM r WHERE rn <= 3 ORDER BY event_type, rank""",
+    "f24_comparator_sort" ->
+      """WITH w AS (
+           SELECT doc_id,
+             list_distinct(list_filter(string_split(text, ' '),
+               x -> len(x) > 0)) AS ws
+           FROM documents)
+         SELECT doc_id,
+           array_to_string(
+             list_transform(
+               list_sort(list_transform(ws,
+                 x -> {'nk': -length(x), 'w': x})),
+               s -> s.w)[1:5], ' ') AS top5
+         FROM w ORDER BY doc_id""",
     "e20_sliding_distinct" ->
       """WITH ev AS (
            SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
