@@ -72,6 +72,27 @@ object Extended25 {
         .orderBy("event_type", "rank")
     }),
 
+    // ---- j14: skew-salted join + two-phase salted aggregation ----
+    // The SkewOps remedies under the hash gate (previously spec-only):
+    // lineitem collapsed onto 10 deliberately hot keys, enriched through
+    // the broadcast-replicated salted join (one hot key spreads over 8
+    // reducers), then aggregated with the explicit two-phase salted agg.
+    // Values are integer-valued doubles, so every partial and the final
+    // sum are exact in any order — the salting cannot perturb the hash.
+    "j14_skew_salted" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select((col("l_suppkey") % 10).as("k"),
+        col("l_quantity"), col("l_orderkey"))
+      val dim = s.range(10).select(col("id").as("k"),
+        (col("id") * 7 + 1).as("factor"))
+      val joined = graft.operators.SkewOps.saltedJoin(
+        li, dim, "k", 8, col("l_orderkey"))
+      graft.operators.SkewOps.saltedAgg(
+          joined.withColumn("v", col("l_quantity") * col("factor")),
+          "k", Some("v"), 8, col("l_orderkey"))
+        .select(col("k"), col("n"), col("total"))
+        .orderBy("k")
+    }),
+
     // ---- f24: array_sort with a comparator lambda ----
     // The custom-comparator HOF (f19 covers the predicate/fold family):
     // words ordered by (length desc, alpha asc) entirely inside the
@@ -120,6 +141,14 @@ object Extended25 {
            FROM events)
          SELECT event_type, CAST(rn AS INT) AS rank, value, event_id
          FROM r WHERE rn <= 3 ORDER BY event_type, rank""",
+    "j14_skew_salted" ->
+      """WITH li AS (
+           SELECT l_suppkey % 10 AS k, l_quantity FROM lineitem),
+         dim AS (SELECT i AS k, i * 7 + 1 AS factor FROM range(10) t(i))
+         SELECT li.k, count(*) AS n,
+           sum(li.l_quantity * dim.factor) AS total
+         FROM li JOIN dim USING (k)
+         GROUP BY li.k ORDER BY k""",
     "f24_comparator_sort" ->
       """WITH w AS (
            SELECT doc_id,
