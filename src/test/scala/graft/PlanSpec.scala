@@ -138,4 +138,40 @@ class PlanSpec extends AnyFunSuite {
     assert(pq.contains("pq_adist"), s"pq_adist missing:\n$pq")
     assert(!pq.contains("UDF"), s"unexpected UDF in PQ plan:\n$pq")
   }
+
+  // ---- round-6 batch plan shapes ----
+  private val sf = "/root/testdata/sf0.001"
+
+  test("e18 attribution: one as-of window, no cartesian/range-join explosion") {
+    val p = plan(graft.queries.Extended21.queries("e18_attribution")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"as-of must stay a merge window, not a pair join:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"expected the as-of window in:\n$p")
+  }
+
+  test("e20 sliding distinct: band join is an equi-join on buckets") {
+    val p = plan(graft.queries.Extended25.queries("e20_sliding_distinct")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"band join must bucket, not pair:\n$p")
+  }
+
+  test("tp7 decontamination broadcasts the eval shingle side") {
+    val p = plan(graft.queries.Extended24.queries("tp7_decontaminated_split")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"eval side should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no pair explosion:\n$p")
+  }
+
+  test("j14 salted join broadcasts the replicated dimension") {
+    val p = plan(graft.queries.Extended25.queries("j14_skew_salted")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"salted dim should broadcast:\n$p")
+  }
+
+  test("e19 ordered funnel plans as joins + partial aggs, never a window") {
+    val p = plan(graft.queries.Extended24.queries("e19_funnel3")(spark, sf))
+    assert(!p.contains("RunningWindowFunction"),
+      s"funnel must not window-sort per user:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+      s"expected aggregate phases in:\n$p")
+  }
 }
