@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.Tables.t
+import graft.operators.AsOfJoin
 import graft.streaming.EventStream
 
 /** Round-6 surface extensions, batch 25: streaming stateful top-k under
@@ -70,6 +71,34 @@ object Extended25 {
         .select(col("event_type"), (col("pos") + 1).cast("int").as("rank"),
           col("col.value").as("value"), col("col.event_id").as("event_id"))
         .orderBy("event_type", "rank")
+    }),
+
+    // ---- e21: SCD2 point-in-time dimension lookup ----
+    // The classic temporal-warehouse join: signups build a per-user
+    // versioned dimension (valid_from = signup time, versions ordered per
+    // user), and each purchase joins the version valid AT its own
+    // timestamp. With non-overlapping versions the containment join IS a
+    // backward as-of on valid_from — one merge window, no interval
+    // explosion; purchases before any version keep NULLs. Same-second
+    // signups dedup deterministically (max event_id) so the as-of has no
+    // ties to break.
+    "e21_pit_lookup" -> ((s, d) => {
+      val ev = t(s, d, "events").withColumn("sec", unix_timestamp(col("ts")))
+      val sv = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("sec"))
+        .agg(max(struct(col("event_id"), col("value"))).as("m"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("sec")
+      val dim = sv.select(col("user_id"), col("sec"),
+          col("sec").as("version_from"), col("m.value").as("vvalue"))
+        .withColumn("version_no", row_number().over(w))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("sec"))
+      AsOfJoin.backward(p, dim, Seq("user_id"), "sec",
+          rightCols = Seq("version_no", "version_from", "vvalue"))
+        .select(col("event_id"), col("version_no"), col("version_from"),
+          round(col("vvalue"), 2).as("version_value"))
+        .orderBy("event_id")
     }),
 
     // ---- j14: skew-salted join + two-phase salted aggregation ----
@@ -141,6 +170,31 @@ object Extended25 {
            FROM events)
          SELECT event_type, CAST(rn AS INT) AS rank, value, event_id
          FROM r WHERE rn <= 3 ORDER BY event_type, rank""",
+    "e21_pit_lookup" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, event_type, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+           FROM events),
+         sv AS (
+           SELECT user_id, sec, value,
+             row_number() OVER (
+               PARTITION BY user_id, sec ORDER BY event_id DESC) AS rn
+           FROM ev WHERE event_type = 'signup'),
+         dim AS (
+           SELECT user_id, sec AS version_from, value,
+             CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY sec) AS INT) AS version_no
+           FROM sv WHERE rn = 1),
+         p AS (
+           SELECT event_id, user_id, sec FROM ev
+           WHERE event_type = 'purchase')
+         SELECT p.event_id, t.version_no, t.version_from,
+           round(t.value, 2) AS version_value
+         FROM p LEFT JOIN LATERAL (
+           SELECT * FROM dim
+           WHERE dim.user_id = p.user_id AND dim.version_from <= p.sec
+           ORDER BY dim.version_from DESC LIMIT 1) t ON TRUE
+         ORDER BY p.event_id""",
     "j14_skew_salted" ->
       """WITH li AS (
            SELECT l_suppkey % 10 AS k, l_quantity FROM lineitem),
