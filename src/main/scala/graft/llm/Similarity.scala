@@ -318,4 +318,36 @@ object Similarity {
       .orderBy(col("sim").desc, col("a"), col("b"))
       .limit(k)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    * k-means-cluster the embeddings, then prune near-duplicates ONLY
+    * within each cluster — the all-pairs comparison shrinks from O(n²)
+    * to Σ|cluster|², which is what makes embedding dedup tractable on a
+    * 100 TB corpus (clusters are small relative to the corpus, and the
+    * per-cluster pair joins are co-partitioned by the cluster id, so the
+    * whole prune is one shuffle on `cid`). Cross-cluster duplicates are
+    * out of reach by design — that is the published trade-off.
+    *
+    * Deterministic end to end: centroids from [[trainCentroids]]
+    * (fixed-point means, first-k seed), assignment via the codegen'd
+    * NearestCentroid kernel, and the drop rule is "b is a duplicate iff
+    * some a < b in the same cluster has cosine(a, b) > threshold" — no
+    * randomness, fully restatable in SQL for the oracle gate.
+    *
+    * Returns the KEPT rows as (idCol, cid). At real scale `nCentroids`
+    * grows with the corpus (≈ n/1000) so cluster sizes stay bounded.
+    */
+  def semDedup(embeddings: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nCentroids: Int = 16, trainIters: Int = 2): DataFrame = {
+    val cents = trainCentroids(embeddings, idCol, vecCol, nCentroids, trainIters)
+    val assigned = embeddings.select(col(idCol),
+      col(vecCol).cast("array<double>").as("_v"),
+      graft.functions.VectorFunctions.nearestCentroid(col(vecCol), cents).as("cid"))
+    val a = assigned.select(col("cid"), col(idCol).as("_a"), col("_v").as("_va"))
+    val b = assigned.select(col("cid"), col(idCol).as("_b"), col("_v").as("_vb"))
+    val dups = a.join(b, "cid").filter(col("_a") < col("_b"))
+      .filter(cosine(col("_va"), col("_vb")) > threshold)
+      .select(col("_b").as(idCol)).distinct()
+    assigned.join(dups, Seq(idCol), "left_anti").select(col(idCol), col("cid"))
+  }
 }

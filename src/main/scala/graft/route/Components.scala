@@ -197,4 +197,46 @@ object Components {
         lit(2.0) * col("triangles") / (col("degree") * (col("degree") - 1)))
         .otherwise(lit(0.0)).as("coeff"))
   }
+
+  /** Synchronous label propagation (community detection) over an
+    * undirected view of `edges` (a, b long columns), run for exactly
+    * `rounds` rounds. Labels start as the node id; each round every node
+    * adopts the most frequent label among its NEIGHBORS, ties broken by
+    * the smallest label — the deterministic variant of Raghavan et al.'s
+    * LPA (the async random-order original is not restatable), and the
+    * same tie rule GraphX's LabelPropagation uses modulo its hash-map
+    * iteration nondeterminism, which is why this is a DataFrame fixpoint
+    * instead of a GraphX call.
+    *
+    * Each round is one shuffle (neighbor-label counts) plus one
+    * partial-aggregated argmax — no collect, no windows; vote counts are
+    * exact longs and the argmax is a single `min(struct(-cnt, label))`,
+    * so the result is bit-stable and a fixed unrolling of the same
+    * relational algebra replays it in SQL (query `r7_label_prop`).
+    * Returns (node, label) for every endpoint mentioned in `edges`.
+    */
+  def labelPropagation(spark: SparkSession, edges: DataFrame,
+      rounds: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val pair = edges.toDF("a", "b").filter(col("a") =!= col("b"))
+    val sym = pair
+      .union(pair.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint() // reused every round: cut the re-read, pin rows
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+    var it = 0
+    while (it < rounds) {
+      labels = sym
+        .join(labels.select(col("node").as("b"), col("label")), "b")
+        .groupBy(col("a").as("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("node")
+        .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l"))).as("m"))
+        .select(col("node"), col("m.l").as("label"))
+      it += 1
+    }
+    labels
+  }
 }

@@ -33,6 +33,22 @@ object EventStream {
       .select(unix_timestamp(col("window.start")).as("hour_ts"),
         col("event_type"), col("n"), col("total"))
 
+  /** Overlapping sliding-window counts/sums per event type — the
+    * streaming form of the batch `e5_sliding_agg` query. Every event
+    * lands in TWO window states (1 h windows every 30 min), which is the
+    * shape that distinguishes sliding from tumbling state management:
+    * the store carries ~2× the live windows and each row updates both.
+    * With time-ordered arrival the watermark never drops input, so a
+    * Complete-mode replay equals the batch aggregate exactly.
+    */
+  def slidingAgg(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    normalize(events)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("n"), col("total"))
+
   /** Streaming gap-based sessionization via flatMapGroupsWithState: state
     * carries (last event second, session counter) per user; each batch's
     * rows are ordered and numbered continuing from state. Produces exactly
