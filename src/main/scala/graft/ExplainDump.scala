@@ -20,7 +20,8 @@ object ExplainDump {
     "ann_pq_topk", "ann_ivf_topk", "g9_knn_classify", "t15_winsorize",
     "a14_heavy_hitters", "e16_interval_left_join", "j13_fuzzy_name_join",
     "t17_bm25", "w8_moving_median", "f20_map_battery", "a15_grouping_id",
-    "e18_attribution", "w9_ntile_binning")
+    "e18_attribution", "w9_ntile_binning", "tp8_semdedup",
+    "q11_nation_volume", "r7_label_prop")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -134,6 +134,40 @@ object Main {
         .select(col("_n"), col("degree"), col("triangles"), col("coeff"))
         .orderBy(col("coeff").desc, col("_n")).show(50, truncate = false)
 
+    // near-dedup scale smoke: a deterministic synthetic corpus with
+    // planted duplicates runs the FULL MinHash-LSH → Jaccard-verify →
+    // connected-components → keep pipeline at whatever row count the
+    // caller asks for (the oracle gate proves correctness at 500–2000
+    // docs; this proves the same plan survives millions). Per 100-doc
+    // group: docs 0/1 are a near-dup pair (one extra word in 41), docs
+    // 2/3 an exact-dup pair, the rest unique — so the expected drop is
+    // 2 per group, and every number below is reproducible from the seed.
+    case "dedup-smoke" :: n :: rest =>
+      import org.apache.spark.sql.functions._
+      val nDocs = n.toLong
+      val threshold = rest.headOption.map(_.toDouble).getOrElse(0.6)
+      val docs = spark.range(nDocs).select(col("id").as("doc_id"))
+        .withColumn("_g", (col("doc_id") / 100).cast("long"))
+        .withColumn("_j", pmod(col("doc_id"), lit(100)))
+        .withColumn("_seed",
+          when(col("_j") < 2, col("_g") * 1000)
+            .when(col("_j") < 4, col("_g") * 1000 + 7)
+            .otherwise(col("doc_id") + 1000000000L))
+        .withColumn("text", expr(
+          """concat_ws(' ', transform(sequence(0, 39),
+               k -> concat('w', pmod(xxhash64(_seed, k), 5000))))"""))
+        .withColumn("text",
+          when(col("_j") === 1, concat(col("text"), lit(" zzextra")))
+            .otherwise(col("text")))
+        .select("doc_id", "text")
+      val t0 = System.nanoTime()
+      val kept = graft.llm.Dedup.dedupNear(docs, "doc_id", "text", threshold)
+        .count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val expected = nDocs - 2 * (nDocs / 100)
+      println(f"dedup-smoke: docs=$nDocs kept=$kept expected≈$expected " +
+        f"dropped=${nDocs - kept} wall=$wall%.1fs")
+
     // fixed-iteration DataFrame PageRank (dangling mass dropped)
     case "pagerank" :: pkg :: iters :: Nil =>
       import org.apache.spark.sql.functions.{col, xxhash64}
@@ -157,6 +191,7 @@ object Main {
           |  betweenness <pkg> <weightCol> <source...>
           |  kcore <pkg> <k>
           |  clustering <pkg>
+          |  dedup-smoke <nDocs> [threshold]
           |  pagerank <pkg> <iters>
           |  export-gpkg <pkg> <out.gpkg>
           |  import-gpkg <in.gpkg>

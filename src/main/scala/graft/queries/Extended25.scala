@@ -21,7 +21,7 @@ object Extended25 {
 
   /** Stage the event log as two wave files by event_id parity with pinned
     * increasing mtimes, once per (process, sf dir). */
-  private def stagedEventWaves(s: SparkSession, d: String): String = {
+  private[queries] def stagedEventWaves(s: SparkSession, d: String): String = {
     val dir = Paths.get(Scratch.dir("st5_events", d))
     val ready = dir.resolve("_READY")
     if (!Files.exists(ready)) {

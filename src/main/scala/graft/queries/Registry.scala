@@ -37,7 +37,8 @@ object Registry {
     (Extended23.queries, Extended23.oracleSql),
     (Extended24.queries, Extended24.oracleSql),
     (Extended25.queries, Extended25.oracleSql),
-    (Extended26.queries, Extended26.oracleSql)
+    (Extended26.queries, Extended26.oracleSql),
+    (Extended27.queries, Extended27.oracleSql)
   )
 
   def queries: Map[String, Q] = providers.map(_._1).reduce(_ ++ _)

@@ -174,4 +174,37 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
       s"expected aggregate phases in:\n$p")
   }
+
+  // ---- batch 26/27 plan shapes ----
+
+  test("tp8 semdedup: cid-bucketed pair join, codegen kernels, no UDF") {
+    val p = plan(graft.queries.Extended26.queries("tp8_semdedup")(spark, sf))
+    assert(p.contains("nearest_centroid"), s"assignment kernel missing:\n$p")
+    assert(!p.contains("UDF"), s"unexpected UDF:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"pair prune must equi-join on cid, never all-pairs:\n$p")
+  }
+
+  test("q11 bi-nation volume broadcasts dims and never pair-joins") {
+    val p = plan(graft.queries.Extended26.queries("q11_nation_volume")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"dims should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"no pair explosion:\n$p")
+  }
+
+  test("u5 merge-into is a single join pass, no window, no cartesian") {
+    val p = plan(graft.queries.Extended27.queries("u5_merge_into")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"MERGE must stay an equi-join:\n$p")
+    assert(!p.contains("RunningWindowFunction"),
+      s"MERGE needs no window:\n$p")
+  }
+
+  test("tp9 weighted sample is a map pass + TakeOrdered, no global sort") {
+    val p = plan(graft.queries.Extended27.queries("tp9_weighted_sample")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected TakeOrdered for the k-sample:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"no global range sort of the corpus:\n$p")
+  }
 }
