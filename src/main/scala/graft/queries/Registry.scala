@@ -38,7 +38,8 @@ object Registry {
     (Extended24.queries, Extended24.oracleSql),
     (Extended25.queries, Extended25.oracleSql),
     (Extended26.queries, Extended26.oracleSql),
-    (Extended27.queries, Extended27.oracleSql)
+    (Extended27.queries, Extended27.oracleSql),
+    (Extended28.queries, Extended28.oracleSql)
   )
 
   def queries: Map[String, Q] = providers.map(_._1).reduce(_ ++ _)
