@@ -29,7 +29,7 @@ object Extended19 {
     * reconstructible with the same [[GeoFunctions.nodeId]] the ingest
     * uses.
     */
-  private def writeTopology(tag: String, d: String, keys: Seq[Long],
+  private[queries] def writeTopology(tag: String, d: String, keys: Seq[Long],
       lat: Double, cycle: Boolean): String = {
     def lon(k: Long) = 3.0 + k * 0.01
     val pairs = keys.zip(keys.tail) ++
@@ -47,13 +47,13 @@ object Extended19 {
   }
 
   /** (key, _n) mapping under the ingest's default 7-digit node ids. */
-  private def nodeIdOf(s: SparkSession, keys: Seq[Long], lat: Double): DataFrame = {
+  private[queries] def nodeIdOf(s: SparkSession, keys: Seq[Long], lat: Double): DataFrame = {
     import s.implicits._
     keys.toDF("key").select(col("key"),
       GeoFunctions.nodeId(lit(3.0) + col("key") * 0.01, lit(lat), 7).as("_n"))
   }
 
-  private def sortedKeys(s: SparkSession, d: String, table: String,
+  private[queries] def sortedKeys(s: SparkSession, d: String, table: String,
       keyCol: String): Seq[Long] =
     t(s, d, table).select(keyCol).collect()
       .map(_.getAs[Number](0).longValue).sorted.toSeq

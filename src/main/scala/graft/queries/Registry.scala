@@ -39,7 +39,9 @@ object Registry {
     (Extended25.queries, Extended25.oracleSql),
     (Extended26.queries, Extended26.oracleSql),
     (Extended27.queries, Extended27.oracleSql),
-    (Extended28.queries, Extended28.oracleSql)
+    (Extended28.queries, Extended28.oracleSql),
+    (Extended29.queries, Extended29.oracleSql),
+    (Extended30.queries, Extended30.oracleSql)
   )
 
   def queries: Map[String, Q] = providers.map(_._1).reduce(_ ++ _)

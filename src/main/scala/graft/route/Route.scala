@@ -355,6 +355,38 @@ object Route {
       .agg((lit(1.0) / avg(col("distance"))).as("closeness"))
   }
 
+  /** Eccentricity from a landmark pass: max distance to the reachable
+    * landmark set (a lower bound of exact eccentricity, exact when every
+    * node is a landmark; the graph pseudo-diameter is its max). Same
+    * scale shape as [[closeness]] — one multi-landmark pass, one partial
+    * aggregation; no per-node jobs.
+    */
+  def eccentricity(spark: SparkSession, g: PropertyGraph, landmarks: Seq[String],
+      weightCol: String, maxLocalEdges: Long = LocalPathMaxEdges): DataFrame =
+    landmarkDistances(spark, g, landmarks, weightCol, maxLocalEdges)
+      .filter(col("_n") =!= col("landmark"))
+      .groupBy("_n")
+      .agg(max(col("distance")).as("eccentricity"))
+
+  /** Harmonic centrality from a landmark pass: Σ 1/d(n, landmark) over
+    * reachable non-self landmarks (Boldi–Vigna's closeness variant that
+    * tolerates disconnected graphs; exact when every node is a landmark).
+    *
+    * Determinism: the per-node distance multiset is sorted ASCENDING and
+    * folded left (`aggregate` over `sort_array`), so the IEEE sum is a
+    * canonical function of the distances — bit-identical on any engine
+    * that folds the same sorted sequence, independent of partitioning.
+    * The collected list is bounded by the ≤64-landmark cap, so the
+    * per-group state is O(64), not O(|V|).
+    */
+  def harmonic(spark: SparkSession, g: PropertyGraph, landmarks: Seq[String],
+      weightCol: String, maxLocalEdges: Long = LocalPathMaxEdges): DataFrame =
+    landmarkDistances(spark, g, landmarks, weightCol, maxLocalEdges)
+      .filter(col("_n") =!= col("landmark") && col("distance") > 0.0)
+      .groupBy("_n")
+      .agg(aggregate(sort_array(collect_list(col("distance"))), lit(0.0),
+        (acc, x) => acc + lit(1.0) / x).as("harmonic"))
+
   /** PageRank centrality over the edge structure (ref README "centrality
     * measures", `README.md:66-68`), returned as (_n, rank).
     */
