@@ -42,7 +42,8 @@ object Registry {
     (Extended28.queries, Extended28.oracleSql),
     (Extended29.queries, Extended29.oracleSql),
     (Extended30.queries, Extended30.oracleSql),
-    (Extended31.queries, Extended31.oracleSql)
+    (Extended31.queries, Extended31.oracleSql),
+    (Extended32.queries, Extended32.oracleSql)
   )
 
   def queries: Map[String, Q] = providers.map(_._1).reduce(_ ++ _)
