@@ -207,4 +207,49 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange rangepartitioning"),
       s"no global range sort of the corpus:\n$p")
   }
+
+  test("q15 top supplier is partial aggs + broadcast max, no window") {
+    val p = plan(graft.queries.Extended28.queries("q15_top_supplier")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 1-row max and the supplier dim should broadcast:\n$p")
+    assert(!p.contains("RunningWindowFunction") && !p.contains("Window"),
+      s"argmax-by-join must not global-sort the partials:\n$p")
+  }
+
+  test("q18 large-volume HAVING filters partials before the dimension joins") {
+    val df = graft.queries.Extended29.queries("q18_large_volume")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"customer dim broadcasts:\n$p")
+    // the qty HAVING must sit under the join: the orderkey aggregate is
+    // filtered on total_qty before any join operator consumes it
+    val aggIdx = p.indexOf("total_qty")
+    assert(aggIdx >= 0 && p.substring(aggIdx).contains("(total_qty"),
+      s"partial-agg filter on total_qty expected:\n$p")
+  }
+
+  test("q2b best-supplier is a max(struct) partial agg, no per-part window") {
+    val p = plan(graft.queries.Extended31.queries("q2b_best_supplier")(spark, sf))
+    assert(!p.contains("RunningWindowFunction"),
+      s"argmax must be an aggregation, not row_number:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"part/supplier dims should broadcast:\n$p")
+  }
+
+  test("q21 sole-late is two aggregation levels, no correlated re-probe") {
+    val p = plan(graft.queries.Extended31.queries("q21_sole_late")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"no pair explosion:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be TakeOrdered, not global sort:\n$p")
+  }
+
+  test("tp11 token-budget mix windows per source, never partitionless") {
+    val df = graft.queries.Extended32.queries("tp11_token_budget_mix")(spark, sf)
+    val p = plan(df)
+    // the running sum must be keyed by source: a partitionless window
+    // would serialize the whole corpus through one task
+    assert(p.contains("partitionBy") || p.contains("PartitionBy") ||
+      !p.contains("SinglePartition"),
+      s"running sum must partition by source:\n$p")
+  }
 }
