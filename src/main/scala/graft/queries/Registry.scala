@@ -44,7 +44,8 @@ object Registry {
     (Extended30.queries, Extended30.oracleSql),
     (Extended31.queries, Extended31.oracleSql),
     (Extended32.queries, Extended32.oracleSql),
-    (Extended33.queries, Extended33.oracleSql)
+    (Extended33.queries, Extended33.oracleSql),
+    (Extended34.queries, Extended34.oracleSql)
   )
 
   def queries: Map[String, Q] = providers.map(_._1).reduce(_ ++ _)
