@@ -30,7 +30,7 @@ object Extended26 {
     * as late — so the replay's equality with the batch aggregate tests
     * cross-batch sliding-window state, not watermark clemency.
     */
-  private def stagedTimeWaves(s: SparkSession, d: String): String = {
+  private[queries] def stagedTimeWaves(s: SparkSession, d: String): String = {
     val dir = Paths.get(Scratch.dir("st6_events", d))
     val ready = dir.resolve("_READY")
     if (!Files.exists(ready)) {

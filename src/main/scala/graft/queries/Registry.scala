@@ -45,7 +45,8 @@ object Registry {
     (Extended31.queries, Extended31.oracleSql),
     (Extended32.queries, Extended32.oracleSql),
     (Extended33.queries, Extended33.oracleSql),
-    (Extended34.queries, Extended34.oracleSql)
+    (Extended34.queries, Extended34.oracleSql),
+    (Extended35.queries, Extended35.oracleSql)
   )
 
   def queries: Map[String, Q] = providers.map(_._1).reduce(_ ++ _)

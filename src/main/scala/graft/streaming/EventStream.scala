@@ -195,6 +195,39 @@ object EventStream {
         col("click_id"), col("c_ts"))
   }
 
+  /** Streaming user-journey transition pairs via flatMapGroupsWithState:
+    * state carries the user's last (event-time µs, event_id, type); each
+    * batch sorts its rows by (µs, event_id) and emits one (prev_type,
+    * cur_type) pair per event, chaining across micro-batches through the
+    * state — the streaming twin of the batch `e22_transition_matrix` lag.
+    * Exact when batches arrive in event-time order (time-split waves /
+    * watermarked upstream), matching the batch lag() semantics row-for-row.
+    */
+  case class LastEvent(micros: Long, eventId: Long, typ: String)
+
+  def transitionPairs(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val typed = normalize(events)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .as[(Long, Long, Long, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[LastEvent, (String, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state) =>
+          val sorted = rows.toSeq.sortBy(r => (r._3, r._2))
+          var prev = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+          sorted.foreach { case (_, eid, us, typ) =>
+            prev.foreach(p => out += ((p.typ, typ)))
+            prev = Some(LastEvent(us, eid, typ))
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+      .toDF("prev_type", "cur_type")
+  }
+
   /** Stateful per-user running counters via mapGroupsWithState — the
     * custom-state extension point (session tracking, rate limiting, …).
     */
