@@ -21,7 +21,10 @@ object ExplainDump {
     "a14_heavy_hitters", "e16_interval_left_join", "j13_fuzzy_name_join",
     "t17_bm25", "w8_moving_median", "f20_map_battery", "a15_grouping_id",
     "e18_attribution", "w9_ntile_binning", "tp8_semdedup",
-    "q11_nation_volume", "r7_label_prop")
+    "q11_nation_volume", "r7_label_prop",
+    "q15_top_supplier", "q18_large_volume", "q21_sole_late",
+    "q2b_best_supplier", "tp11_token_budget_mix", "e22_transition_matrix",
+    "dedup_containment", "v5_power_iteration", "t20_char_entropy")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -55,7 +55,16 @@ object Extended34 {
              i -> concat_ws(' ', ws[i - 1], ws[i], ws[i + 1]))""")).as("sh"))
         .distinct()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("na"))
-      val inter = sh.as("x").join(sh.as("y"), Seq("sh"))
+      // df cap: a shingle present in > 64 docs ("the of the"-class) would
+      // contribute O(df²) pairs for near-zero signal — the standard
+      // inverted-index guard. |A| (na) stays UNcapped, so containment
+      // remains a true fraction of the full shingle set; only the pair
+      // generator skips ubiquitous shingles (no-op at test scale, where
+      // max df = 7; load-bearing at corpus scale).
+      val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 64).select("sh")
+      val inter = sh.join(rare, "sh").as("x")
+        .join(sh.join(rare, "sh").as("y"), Seq("sh"))
         .filter(col("x.doc_id") =!= col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("inter"))
@@ -142,9 +151,12 @@ object Extended34 {
            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
            WHERE len(ws) >= 3),
          sizes AS (SELECT doc_id, count(*) AS na FROM sh GROUP BY doc_id),
+         rare AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+                  WHERE df <= 64),
+         shr AS (SELECT doc_id, sh FROM sh JOIN rare USING (sh)),
          inter AS (
            SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
-           FROM sh x JOIN sh y USING (sh)
+           FROM shr x JOIN shr y USING (sh)
            WHERE x.doc_id <> y.doc_id
            GROUP BY x.doc_id, y.doc_id)
          SELECT a, b, round(CAST(inter AS DOUBLE) / na, 4) AS containment
