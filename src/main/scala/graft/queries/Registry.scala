@@ -46,7 +46,8 @@ object Registry {
     (Extended32.queries, Extended32.oracleSql),
     (Extended33.queries, Extended33.oracleSql),
     (Extended34.queries, Extended34.oracleSql),
-    (Extended35.queries, Extended35.oracleSql)
+    (Extended35.queries, Extended35.oracleSql),
+    (Extended36.queries, Extended36.oracleSql)
   )
 
   def queries: Map[String, Q] = providers.map(_._1).reduce(_ ++ _)

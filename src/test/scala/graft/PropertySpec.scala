@@ -98,6 +98,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("as-of forward join equals the brute-force earliest-at-or-after scan") {
+    import spark.implicits._
+    val rowGen = for {
+      k <- Gen.chooseNum(0, 3)
+      ts <- Gen.chooseNum(0L, 50L)
+      v <- Gen.chooseNum(0, 1000)
+    } yield (k, ts, v)
+    forSeeds(Gen.zip(Gen.listOfN(40, rowGen), Gen.listOfN(25, rowGen)),
+        4) { case (ls, rs) =>
+      val rsu = rs.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val left = ls.toDF("k", "ts", "lv")
+      val right = rsu.toDF("k", "ts", "rv")
+      val got = AsOfJoin.forward(left, right, Seq("k"), "ts")
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getInt(2),
+          Option(r.get(3)).map(_.asInstanceOf[Int])))
+        .sortBy(t => (t._1, t._2, t._3))
+      val want = ls.map { case (k, ts, lv) =>
+        val cand = rsu.filter(r => r._1 == k && r._2 >= ts)
+        val rv = if (cand.isEmpty) None
+          else Some(cand.minBy(_._2)._3)
+        (k, ts, lv, rv)
+      }.sortBy(t => (t._1, t._2, t._3))
+      assert(got.toSeq == want)
+    }
+  }
+
   // ---- GroupTopK == per-group sort-take ----
   test("GroupTopK equals per-group sort-and-take on random data") {
     import spark.implicits._
