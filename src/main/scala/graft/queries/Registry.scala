@@ -47,7 +47,8 @@ object Registry {
     (Extended33.queries, Extended33.oracleSql),
     (Extended34.queries, Extended34.oracleSql),
     (Extended35.queries, Extended35.oracleSql),
-    (Extended36.queries, Extended36.oracleSql)
+    (Extended36.queries, Extended36.oracleSql),
+    (Extended37.queries, Extended37.oracleSql)
   )
 
   def queries: Map[String, Q] = providers.map(_._1).reduce(_ ++ _)
