@@ -47,6 +47,12 @@ object Extended34 {
 
     // ---- asymmetric containment dedup ----
     "dedup_containment" -> ((s, d) => {
+      // the shingle relation feeds FOUR consumers (sizes, df filter, both
+      // pair sides) — materialize the explode+distinct once instead of
+      // re-splitting every document per consumer (the cache is released
+      // by the terminal limit(20) being eager via the ordered take; at
+      // corpus scale this is a persisted shingle table). localCheckpoint
+      // (not cache) so no executor-memory entry outlives the invocation.
       val sh = t(s, d, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
         .filter(size(col("ws")) >= 3)
@@ -54,6 +60,7 @@ object Extended34 {
           """transform(sequence(1, size(ws) - 2),
              i -> concat_ws(' ', ws[i - 1], ws[i], ws[i + 1]))""")).as("sh"))
         .distinct()
+        .localCheckpoint()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("na"))
       // df cap: a shingle present in > 64 docs ("the of the"-class) would
       // contribute O(df²) pairs for near-zero signal — the standard
@@ -63,8 +70,8 @@ object Extended34 {
       // max df = 7; load-bearing at corpus scale).
       val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
         .filter(col("df") <= 64).select("sh")
-      val inter = sh.join(rare, "sh").as("x")
-        .join(sh.join(rare, "sh").as("y"), Seq("sh"))
+      val shr = sh.join(rare, "sh").localCheckpoint()
+      val inter = shr.as("x").join(shr.as("y"), Seq("sh"))
         .filter(col("x.doc_id") =!= col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("inter"))
