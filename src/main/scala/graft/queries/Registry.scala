@@ -48,7 +48,8 @@ object Registry {
     (Extended34.queries, Extended34.oracleSql),
     (Extended35.queries, Extended35.oracleSql),
     (Extended36.queries, Extended36.oracleSql),
-    (Extended37.queries, Extended37.oracleSql)
+    (Extended37.queries, Extended37.oracleSql),
+    (Extended38.queries, Extended38.oracleSql)
   )
 
   def queries: Map[String, Q] = providers.map(_._1).reduce(_ ++ _)
