@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
+/** Round-6 surface extensions, batch 39: EXACT global quantiles by
+  * histogram selection — the scale-safe mechanism. Spark's exact
+  * `percentile` buffers every value per group (fine per-key, an OOM at a
+  * 100 TB global quantile); the selection algorithm here is one
+  * aggregation keyed on the (bounded-domain) scaled-cent value plus a
+  * cumulative walk over the DISTINCT values — state ∝ |distinct prices|,
+  * not ∝ rows. The quantile convention is pinned explicitly (1-based
+  * rank ⌈q·n⌉ over ascending values — quantile_disc semantics) and the
+  * oracle restates the identical selection, so the hash match certifies
+  * the algorithm, not a library's tie convention.
+  */
+object Extended39 {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "a19_exact_median_hist" -> ((s, d) => {
+      val hist = t(s, d, "lineitem")
+        .select(round(col("l_extendedprice") * 100).cast("long").as("v"))
+        .groupBy("v").agg(count(lit(1)).as("c"))
+      // cumulative counts over the distinct-value domain, then pick rank
+      // ⌈q·n⌉ per quantile. The partitionless window is over the price
+      // DOMAIN (≤ price-range × 100 cents, fixed), not over rows — it
+      // stays the same size at 100 TB; that bound is what makes histogram
+      // selection the scale path (tp1's two-level cumsum is the fallback
+      // for unbounded domains)
+      val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+      val cum = hist.select(col("v"), sum("c").over(w).as("cum"))
+      val tot = hist.agg(sum("c").as("n"))
+      val qs = Seq(0.5, 0.9, 0.99)
+      val sel = qs.map { q =>
+        cum.join(broadcast(tot))
+          .filter(col("cum") >= ceil(lit(q) * col("n")))
+          .agg(min("v").as("v"))
+          .select(lit(q).as("q"), col("v"))
+      }.reduce(_ unionByName _)
+      sel.select(col("q"),
+          round(col("v").cast("double") / 100.0, 2).as("value"))
+        .orderBy("q")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "a19_exact_median_hist" ->
+      """WITH h AS (
+           SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+             count(*) AS c
+           FROM lineitem GROUP BY 1),
+         cum AS (
+           SELECT v, CAST(sum(c) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum
+           FROM h),
+         n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h)
+         SELECT q, round(CAST(v AS DOUBLE) / 100.0, 2) AS value FROM (
+           SELECT CAST(0.5 AS DOUBLE) AS q, min(v) AS v FROM cum, n WHERE cum >= ceil(0.5 * n)
+           UNION ALL
+           SELECT CAST(0.9 AS DOUBLE), min(v) FROM cum, n WHERE cum >= ceil(0.9 * n)
+           UNION ALL
+           SELECT CAST(0.99 AS DOUBLE), min(v) FROM cum, n WHERE cum >= ceil(0.99 * n))
+         ORDER BY q"""
+  )
+}

@@ -49,7 +49,8 @@ object Registry {
     (Extended35.queries, Extended35.oracleSql),
     (Extended36.queries, Extended36.oracleSql),
     (Extended37.queries, Extended37.oracleSql),
-    (Extended38.queries, Extended38.oracleSql)
+    (Extended38.queries, Extended38.oracleSql),
+    (Extended39.queries, Extended39.oracleSql)
   )
 
   def queries: Map[String, Q] = providers.map(_._1).reduce(_ ++ _)
