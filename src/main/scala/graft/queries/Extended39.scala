@@ -21,6 +21,26 @@ object Extended39 {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // ---- v6: exact distributed Gram matrix (XᵀX over the corpus) ----
+    // The covariance/PCA building block as one self-join + partial agg:
+    // ×1000-quantized int64 entries (v5's discipline), so all 64×64
+    // accumulations are exact and the oracle is a hash-identical unnest²
+    // restatement. Products bound: 578² × 2000 rows ≈ 6.7e11 < 2⁶³. At
+    // scale the join is vec_id-local (co-partitioned explode of the same
+    // row) — shuffle carries (pos, pos, partial) cells, 64² per task.
+    "v6_gram_matrix" -> ((s, d) => {
+      val xs = t(s, d, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("pos", "x")))
+        .select(col("vec_id"), col("pos"),
+          round(col("x") * 1000).cast("long").as("xs"))
+      xs.as("a").join(xs.as("b"), "vec_id")
+        .filter(col("a.pos") <= col("b.pos")) // symmetric: upper triangle
+        .groupBy(col("a.pos").as("i"), col("b.pos").as("j"))
+        .agg(sum(col("a.xs") * col("b.xs")).as("g"))
+        .orderBy("i", "j")
+    }),
+
     "a19_exact_median_hist" -> ((s, d) => {
       val hist = t(s, d, "lineitem")
         .select(round(col("l_extendedprice") * 100).cast("long").as("v"))
@@ -48,6 +68,16 @@ object Extended39 {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "v6_gram_matrix" ->
+      """WITH e AS (
+           SELECT vec_id,
+             [CAST(round(x * 1000) AS BIGINT) for x in CAST(embedding AS DOUBLE[])] AS xs
+           FROM embeddings)
+         SELECT CAST(i - 1 AS INT) AS i, CAST(j - 1 AS INT) AS j,
+           CAST(sum(xs[i] * xs[j]) AS BIGINT) AS g
+         FROM e, range(1, 65) a(i), range(1, 65) b(j)
+         WHERE i <= j
+         GROUP BY i, j ORDER BY i, j""",
     "a19_exact_median_hist" ->
       """WITH h AS (
            SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,

@@ -146,6 +146,25 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  // ---- zero-row edges: operators must not throw or fabricate rows ----
+  test("as-of joins and GroupTopK handle empty inputs") {
+    import spark.implicits._
+    val empty = Seq.empty[(Int, Long, Int)].toDF("k", "ts", "v")
+    val some = Seq((1, 5L, 10)).toDF("k", "ts", "v")
+    // empty right: every left row carries null
+    val bwd = AsOfJoin.backward(some, empty.withColumnRenamed("v", "rv"),
+      Seq("k"), "ts").collect()
+    assert(bwd.length == 1 && bwd.head.isNullAt(3))
+    val fwd = AsOfJoin.forward(some, empty.withColumnRenamed("v", "rv"),
+      Seq("k"), "ts").collect()
+    assert(fwd.length == 1 && fwd.head.isNullAt(3))
+    // empty left: no output rows
+    assert(AsOfJoin.backward(empty, some.withColumnRenamed("v", "rv"),
+      Seq("k"), "ts").count() == 0)
+    // GroupTopK of nothing is nothing
+    assert(GroupTopK.topK(empty, Seq("k"), Seq(("ts", true)), 3).count() == 0)
+  }
+
   // ---- exact dedup keep-first is idempotent and order-insensitive ----
   test("exact dedup output is invariant under input permutation") {
     import spark.implicits._
