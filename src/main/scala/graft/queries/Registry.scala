@@ -50,7 +50,10 @@ object Registry {
     (Extended36.queries, Extended36.oracleSql),
     (Extended37.queries, Extended37.oracleSql),
     (Extended38.queries, Extended38.oracleSql),
-    (Extended39.queries, Extended39.oracleSql)
+    (Extended39.queries, Extended39.oracleSql),
+    (Extended40.queries, Extended40.oracleSql),
+    (Extended41.queries, Extended41.oracleSql),
+    (Extended42.queries, Extended42.oracleSql)
   )
 
   def queries: Map[String, Q] = providers.map(_._1).reduce(_ ++ _)

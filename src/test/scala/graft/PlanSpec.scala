@@ -252,4 +252,47 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("SinglePartition"),
       s"running sum must partition by source:\n$p")
   }
+
+  test("tp13 dup spans: gram-keyed aggs, no pair join, no window") {
+    val p = plan(graft.queries.Extended40.queries("tp13_dup_ngram_spans")(spark, sf))
+    // the dup-gram relation must come from aggregation on the gram key —
+    // an all-pairs doc join would be the O(n²) anti-pattern
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"dup spans must never pair-join documents:\n$p")
+    assert(!p.contains("RunningWindowFunction"),
+      s"per-doc rollup is an aggregation, not a window:\n$p")
+  }
+
+  test("tp14 classifier inference is one scan + partial agg, no UDF") {
+    val p = plan(graft.queries.Extended40.queries("tp14_classifier_inference")(spark, sf))
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"hashing and weights are built-ins, no UDF:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"the score sum must map-side combine:\n$p")
+  }
+
+  test("ann_sq8 is a codegen scan + TakeOrdered candidates, no UDF") {
+    val p = plan(graft.queries.Extended40.queries("ann_sq8_topk")(spark, sf))
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"quantize + distance are expressions, no UDF:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"candidate refine must be TakeOrdered, not a global sort:\n$p")
+  }
+
+  test("a20 weighted median aggregates (key, value) partials, no value buffering") {
+    val p = plan(graft.queries.Extended41.queries("a20_weighted_median")(spark, sf))
+    // the scale claim: state ∝ distinct values — the plan must pre-reduce
+    // on (flag, price) with a partial agg before any window
+    assert(p.contains("partial"), s"(flag, p) pre-reduction expected:\n$p")
+    assert(!p.contains("percentile"), s"must not use buffering percentile:\n$p")
+  }
+
+  test("e22 sweep-line is net-delta aggs + per-type window, no self-join") {
+    val p = plan(graft.queries.Extended41.queries("e22_max_concurrency")(spark, sf))
+    // interval overlap via sweep — an interval self-join would be O(n²)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"no pair join over events:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"the cumulative sweep must partition by event_type:\n$p")
+  }
 }
