@@ -73,6 +73,43 @@ object Bridges {
     bridgesDistributed(spark, canon, maxDepth)
   }
 
+  /** 2-edge-connected components: the equivalence classes left when every
+    * bridge is removed (nx `k_edge_components(k=2)` modulo singleton
+    * conventions — here EVERY node gets a label, so nodes all of whose
+    * incident edges are bridges come out as singletons). Composes the two
+    * operators this file and [[Mst]] already provide: bridges (whichever
+    * dispatch path the size picks) → anti-join them out of the edge
+    * relation → GraphX connected components over what remains (min-member
+    * labels, so results are deterministic and engine-restatable). The
+    * 100 TB shape is the same as [[bridges]] plus one CC fixpoint over
+    * the (strictly smaller) non-bridge relation.
+    */
+  def twoEdgeConnectedComponents(spark: SparkSession, edges: DataFrame,
+      maxLocalEdges: Long = Route.LocalPathMaxEdges,
+      maxDepth: Int = 512): DataFrame = {
+    import spark.implicits._
+    val canon = edges.select(
+        least(col("u").cast("long"), col("v").cast("long")).as("u"),
+        greatest(col("u").cast("long"), col("v").cast("long")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    val br = bridges(spark, canon, maxLocalEdges, maxDepth)
+    val nb = canon.join(br, Seq("u", "v"), "left_anti")
+    val nodes = canon.select(col("u").as("node"))
+      .union(canon.select(col("v"))).distinct()
+    val labels = {
+      val g = org.apache.spark.graphx.Graph.fromEdgeTuples(
+        nb.as[(Long, Long)].rdd, 0)
+      val c = g.connectedComponents()
+      val out = c.vertices.toDF("node", "comp").localCheckpoint()
+      c.unpersist(blocking = false); g.unpersist(blocking = false)
+      out
+    }
+    nodes.join(labels, Seq("node"), "left")
+      .select(col("node"), coalesce(col("comp"), col("node")).as("comp"))
+  }
+
   /** Exact iterative Tarjan low-link bridge DFS (explicit stack — the
     * gate's ceiling cannot overflow the JVM stack on a long path).
     * `edges` must be canonical distinct (u < v) pairs.

@@ -287,6 +287,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("percentile"), s"must not use buffering percentile:\n$p")
   }
 
+  test("q23 product profit broadcasts part/supplier dims, no window") {
+    val p = plan(graft.queries.Extended43.queries("q23_product_profit")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"part and supplier⋈nation must broadcast into the lineitem scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"no pair joins:\n$p")
+    assert(!p.contains("RunningWindowFunction"),
+      s"profit rollup is an aggregation, not a window:\n$p")
+  }
+
+  test("q24 market share is ONE aggregation pass, dims broadcast") {
+    val p = plan(graft.queries.Extended43.queries("q24_market_share")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"region/nation/part dims must broadcast:\n$p")
+    // numerator and denominator come from the same partial agg — the plan
+    // must contain exactly one aggregate pair over the fact join
+    assert(!p.contains("Union"), s"share must not be two unioned queries:\n$p")
+  }
+
+  test("a21 mode pre-reduces to (group, value) counts, no value buffering") {
+    val p = plan(graft.queries.Extended43.queries("a21_mode")(spark, sf))
+    assert(p.contains("partial"), s"(flag, q) pre-count expected:\n$p")
+    assert(!p.contains("RunningWindowFunction") && !p.contains("percentile"),
+      s"argmax is a struct max agg, not a window:\n$p")
+  }
+
   test("e22 sweep-line is net-delta aggs + per-type window, no self-join") {
     val p = plan(graft.queries.Extended41.queries("e22_max_concurrency")(spark, sf))
     // interval overlap via sweep — an interval self-join would be O(n²)
