@@ -313,6 +313,16 @@ class PlanSpec extends AnyFunSuite {
       s"argmax is a struct max agg, not a window:\n$p")
   }
 
+  test("tp16 importance score: count-table joins + TakeOrdered, no UDF") {
+    val p = plan(graft.queries.Extended44.queries("tp16_importance_score")(spark, sf))
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"tokenize and mass sums are built-ins:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be TakeOrdered, not a global sort:\n$p")
+    assert(!p.contains("RunningWindowFunction"),
+      s"per-doc masses are aggregations, not windows:\n$p")
+  }
+
   test("e22 sweep-line is net-delta aggs + per-type window, no self-join") {
     val p = plan(graft.queries.Extended41.queries("e22_max_concurrency")(spark, sf))
     // interval overlap via sweep — an interval self-join would be O(n²)
