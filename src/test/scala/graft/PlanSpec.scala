@@ -323,6 +323,24 @@ class PlanSpec extends AnyFunSuite {
       s"per-doc masses are aggregations, not windows:\n$p")
   }
 
+  test("tp17 hard negatives: broadcast probes + GroupTopK, no window sort") {
+    val p = plan(graft.queries.Extended45.queries("tp17_hard_negatives")(spark, sf))
+    assert(p.contains("GroupTopK"),
+      s"per-probe top-5 must use the bounded-heap operator:\n$p")
+    assert(!p.contains("RunningWindowFunction") && !p.contains("row_number"),
+      s"no window sort for top-k:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"cosine kernel is the native expression:\n$p")
+  }
+
+  test("a22 MAD aggregates (group, value) partials, never buffers rows") {
+    val p = plan(graft.queries.Extended45.queries("a22_mad")(spark, sf))
+    assert(p.contains("partial"), s"(flag, value) pre-counts expected:\n$p")
+    assert(!p.contains("percentile"), s"must not use buffering percentile:\n$p")
+    assert(!p.contains("SinglePartition") || !p.contains("RunningWindowFunction"),
+      s"cumulative selection must partition by flag:\n$p")
+  }
+
   test("e22 sweep-line is net-delta aggs + per-type window, no self-join") {
     val p = plan(graft.queries.Extended41.queries("e22_max_concurrency")(spark, sf))
     // interval overlap via sweep — an interval self-join would be O(n²)
