@@ -56,7 +56,8 @@ object Registry {
     (Extended42.queries, Extended42.oracleSql),
     (Extended43.queries, Extended43.oracleSql),
     (Extended44.queries, Extended44.oracleSql),
-    (Extended45.queries, Extended45.oracleSql)
+    (Extended45.queries, Extended45.oracleSql),
+    (Extended46.queries, Extended46.oracleSql)
   )
 
   def queries: Map[String, Q] = providers.map(_._1).reduce(_ ++ _)

@@ -341,6 +341,20 @@ class PlanSpec extends AnyFunSuite {
       s"cumulative selection must partition by flag:\n$p")
   }
 
+  test("e24 RFM buckets by broadcast boundaries, no global ntile") {
+    val p = plan(graft.queries.Extended46.queries("e24_rfm_segments")(spark, sf))
+    assert(!p.contains("ntile"), s"no partitionless ntile over customers:\n$p")
+    assert(p.contains("BroadcastNestedLoop") || p.contains("BroadcastExchange"),
+      s"the 12 boundary values must broadcast:\n$p")
+  }
+
+  test("tp18 upsample is a generator + partial aggs, no shuffle-side blowup") {
+    val p = plan(graft.queries.Extended46.queries("tp18_domain_upsample")(spark, sf))
+    assert(p.contains("Generate"), s"the epoch replication must be explode:\n$p")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      s"epoch arithmetic is built-in integer math:\n$p")
+  }
+
   test("e22 sweep-line is net-delta aggs + per-type window, no self-join") {
     val p = plan(graft.queries.Extended41.queries("e22_max_concurrency")(spark, sf))
     // interval overlap via sweep — an interval self-join would be O(n²)
