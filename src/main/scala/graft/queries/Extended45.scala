@@ -10,17 +10,14 @@ import graft.llm.Similarity
 /** Round-6 surface extensions, batch 45: DAG critical path, exact MAD,
   * and contrastive hard-negative mining.
   *
-  *  - j20: LONGEST PATH per node on a DAG — the supernode contraction
-  *    with u < v is acyclic BY CONSTRUCTION (every edge ascends), so
-  *    longest-path is well-defined and the classic Bellman relaxation
-  *    converges in depth rounds (6 at sf0.01, 35 at sf0.1 on the sparse
-  *    1-in-89 sample). Spark runs a FRONTIER iteration: only nodes whose
-  *    distance improved propagate next round — each round is one join on
-  *    the edge key + one max partial agg, state one row per node. The
-  *    oracle enumerates all (node, depth) pairs by recursive closure and
-  *    takes the max — different algorithm, same fixpoint. At 100 TB the
-  *    depth-round structure is the same as the Pregel SSSP already
-  *    proven; unit weights keep every distance an exact integer.
+  *  - j20: LONGEST PATH per node on a DAG ([[graft.route.DagPath]] —
+  *    the supernode contraction with u < v is acyclic BY CONSTRUCTION,
+  *    so longest-path is well-defined; one ascending sweep under the
+  *    gate, frontier Bellman relaxation above it, depth rounds: 6 at
+  *    sf0.01, 35 at sf0.1 on the sparse 1-in-89 sample). The oracle
+  *    enumerates all (node, depth) pairs by recursive closure and takes
+  *    the max — different algorithm, same fixpoint; unit weights keep
+  *    every distance an exact integer.
   *  - a22: exact MEDIAN ABSOLUTE DEVIATION per group — the robust-stats
   *    companion to a19/a20: median by cumulative selection over cent-
   *    scaled (group, value) counts, then the SAME selection over
@@ -41,31 +38,10 @@ object Extended45 {
 
   val queries: Map[String, Q] = Map(
     // ---- j20: longest in-path per node on the sparse supernode DAG ----
-    "j20_dag_longest_path" -> ((s, d) => {
-      val edges = Extended42.sparseSupernodeEdges(s, d).localCheckpoint()
-      val nodes = edges.select(col("u").as("node"))
-        .union(edges.select(col("v"))).distinct()
-      var best = nodes.withColumn("dist", lit(0L)).localCheckpoint()
-      var frontier = best
-      var rounds = 0
-      while (rounds < 256 && !frontier.isEmpty) {
-        val cand = frontier.join(edges, frontier("node") === edges("u"))
-          .select(col("v").as("node"), (col("dist") + 1L).as("nd"))
-          .groupBy("node").agg(max("nd").as("nd"))
-        val improved = cand.join(best, "node")
-          .filter(col("nd") > col("dist"))
-          .select(col("node"), col("nd").as("dist"))
-          .localCheckpoint()
-        best = best.join(improved.select(col("node"), col("dist").as("nd")),
-            Seq("node"), "left")
-          .select(col("node"), coalesce(col("nd"), col("dist")).as("dist"))
-          .localCheckpoint()
-        frontier = improved
-        rounds += 1
-      }
-      require(frontier.isEmpty, "j20: DAG deeper than 256 — not a DAG?")
-      best.select(col("node"), col("dist").as("longest_in_path")).orderBy("node")
-    }),
+    "j20_dag_longest_path" -> ((s, d) =>
+      graft.route.DagPath.longestPath(s, Extended42.sparseSupernodeEdges(s, d))
+        .select(col("node"), col("dist").as("longest_in_path"))
+        .orderBy("node")),
 
     // ---- a22: exact MAD per group by double cumulative selection ----
     "a22_mad" -> ((s, d) => {

@@ -20,20 +20,28 @@ class Extended45Spec extends AnyFunSuite {
     assert(out == List(("X", 0.03, 0.02)))
   }
 
-  test("j20 longest path on the sf0.001 sparse DAG matches a local computation") {
+  test("j20 longest path: local sweep == distributed frontier on a fixture DAG") {
+    import spark.implicits._
+    // diamond + tail: longest to 4 is 1-2-4 (len 2), to 5 is len 3
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L), (1L, 4L))
+      .toDF("u", "v")
+    val expected = Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(toMap(graft.route.DagPath.longestPath(spark, edges)) == expected)
+    assert(toMap(graft.route.DagPath.longestPath(spark, edges,
+      maxLocalEdges = 0)) == expected)
+  }
+
+  test("j20 dispatch paths agree on the sf0.001 sparse supernode DAG") {
     val d = "/root/testdata/sf0.001"
     val edges = graft.queries.Extended42.sparseSupernodeEdges(spark, d)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    // local longest-path by relaxation over edges sorted by u (u < v makes
-    // a single ascending sweep exact)
-    val dist = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
-    edges.flatMap { case (u, v) => Seq(u, v) }.foreach(n => dist(n) = dist(n))
-    edges.sortBy(_._1).foreach { case (u, v) =>
-      if (dist(u) + 1 > dist(v)) dist(v) = dist(u) + 1
-    }
-    val out = graft.queries.Extended45.queries("j20_dag_longest_path")(spark, d)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(out == dist.toMap)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = toMap(graft.route.DagPath.longestPath(spark, edges))
+    val dist = toMap(graft.route.DagPath.longestPath(spark, edges,
+      maxLocalEdges = 0))
+    assert(local == dist)
   }
 
   test("tp17 hard negatives never return the probe's own label") {
