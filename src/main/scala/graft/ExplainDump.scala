@@ -24,7 +24,12 @@ object ExplainDump {
     "q11_nation_volume", "r7_label_prop",
     "q15_top_supplier", "q18_large_volume", "q21_sole_late",
     "q2b_best_supplier", "tp11_token_budget_mix", "e22_transition_matrix",
-    "dedup_containment", "v5_power_iteration", "t20_char_entropy")
+    "dedup_containment", "v5_power_iteration", "t20_char_entropy",
+    "tp13_dup_ngram_spans", "tp14_classifier_inference", "ann_sq8_topk",
+    "a20_weighted_median", "e22_max_concurrency", "q23_product_profit",
+    "q24_market_share", "a21_mode", "tp16_importance_score",
+    "tp17_hard_negatives", "a22_mad", "e24_rfm_segments",
+    "tp18_domain_upsample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
