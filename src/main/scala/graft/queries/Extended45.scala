@@ -21,9 +21,12 @@ import graft.llm.Similarity
   *  - a22: exact MEDIAN ABSOLUTE DEVIATION per group — the robust-stats
   *    companion to a19/a20: median by cumulative selection over cent-
   *    scaled (group, value) counts, then the SAME selection over
-  *    (group, |value − median|) counts. Both passes keep state ∝
-  *    distinct values per group, never buffer rows, and use only BIGINT
-  *    comparisons (2·cw ≥ tw) — no float-order hazard anywhere.
+  *    (group, |value − median|) counts, where the deviation histogram
+  *    is derived from the VALUE histogram (re-key by |v − med|,
+  *    re-aggregate) — the fact table is scanned exactly once and both
+  *    passes keep state ∝ distinct values per group, never buffering
+  *    rows; only BIGINT comparisons (2·cw ≥ tw) — no float-order hazard
+  *    anywhere.
   *  - tp17: HARD-NEGATIVE MINING (contrastive training's data step —
   *    RocketQA/ANCE style): for each probe vector, the top-5 most
   *    cosine-similar corpus vectors with a DIFFERENT class label —
@@ -47,19 +50,27 @@ object Extended45 {
     "a22_mad" -> ((s, d) => {
       val x = t(s, d, "lineitem").select(col("l_returnflag").as("flag"),
         round(col("l_extendedprice") * 100).cast("long").as("pc"))
-      def lowerMedian(df: DataFrame, valCol: String, outCol: String): DataFrame = {
-        val cnt = df.groupBy("flag", valCol).agg(count(lit(1)).as("n"))
+      // the fact table is scanned ONCE: both selection passes run over the
+      // (flag, value, n) counts — the deviation histogram is the value
+      // histogram re-keyed by |pc − med| (two distinct values can fold
+      // into one deviation, hence the re-aggregation), so pass 2 costs
+      // O(distinct values), not O(rows)
+      val cnt = x.groupBy("flag", "pc").agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      def lowerMedian(counts: DataFrame, valCol: String,
+          outCol: String): DataFrame = {
         val byFlag = Window.partitionBy("flag")
-        cnt.select(col("flag"), col(valCol),
+        counts.select(col("flag"), col(valCol),
             sum("n").over(byFlag.orderBy(valCol)).as("cw"),
             sum("n").over(byFlag).as("tw"))
           .filter(lit(2) * col("cw") >= col("tw"))
           .groupBy("flag").agg(min(valCol).as(outCol))
       }
-      val med = lowerMedian(x, "pc", "medc")
-      val dev = x.join(broadcast(med), "flag")
-        .select(col("flag"), abs(col("pc") - col("medc")).as("dv"))
-      val mad = lowerMedian(dev, "dv", "madc")
+      val med = lowerMedian(cnt, "pc", "medc")
+      val devCnt = cnt.join(broadcast(med), "flag")
+        .select(col("flag"), abs(col("pc") - col("medc")).as("dv"), col("n"))
+        .groupBy("flag", "dv").agg(sum("n").as("n"))
+      val mad = lowerMedian(devCnt, "dv", "madc")
       med.join(mad, "flag")
         .select(col("flag"),
           round(col("medc").cast("double") / 100.0, 2).as("median_price"),
