@@ -18,6 +18,7 @@ import graft.store.GraphPackage
   *   route <pkg> <u> <v> [weightCol]
   *   landmarks <pkg> <weightCol> <node...>
   *   betweenness <pkg> <weightCol> <source...>
+  *   mst <pkg> [weightCol] / bridges <pkg> / matching <pkg> [weightCol]
   *   export-gpkg <pkg> <outdir> / import-gpkg <dir>
   */
 object Main {
@@ -134,6 +135,43 @@ object Main {
         .select(col("_n"), col("degree"), col("triangles"), col("coeff"))
         .orderBy(col("coeff").desc, col("_n")).show(50, truncate = false)
 
+    // minimum spanning forest of the street graph by edge length —
+    // "cheapest network keeping everything connected"
+    case "mst" :: pkg :: rest if rest.length <= 1 =>
+      import org.apache.spark.sql.functions.{col, xxhash64}
+      val g = GraphPackage.load(spark, pkg)
+      val weight = rest.headOption.getOrElse("_length")
+      val forest = graft.route.Mst.minimumSpanningForest(spark,
+        g.edges.select(xxhash64(col("_u")).as("u"), xxhash64(col("_v")).as("v"),
+          col(weight).as("w")))
+      println(s"forest edges: ${forest.count()}")
+      forest.orderBy(col("w").desc).show(50, truncate = false)
+
+    // bridge (cut) edges — single points of failure in the street graph
+    case "bridges" :: pkg :: Nil =>
+      import org.apache.spark.sql.functions.{col, xxhash64}
+      val g = GraphPackage.load(spark, pkg)
+      val ids = g.nodes.select(col("_n"), xxhash64(col("_n")).as("_vid"))
+      val br = graft.route.Bridges.bridges(spark,
+        g.edges.select(xxhash64(col("_u")).as("u"), xxhash64(col("_v")).as("v")))
+      println(s"bridges: ${br.count()}")
+      br.join(ids, br("u") === ids("_vid")).withColumnRenamed("_n", "from")
+        .drop("_vid")
+        .join(ids, br("v") === ids("_vid")).withColumnRenamed("_n", "to")
+        .select(col("from"), col("to")).orderBy("from", "to")
+        .show(50, truncate = false)
+
+    // greedy maximal matching by edge length — disjoint segment pairing
+    case "matching" :: pkg :: rest if rest.length <= 1 =>
+      import org.apache.spark.sql.functions.{col, xxhash64}
+      val g = GraphPackage.load(spark, pkg)
+      val weight = rest.headOption.getOrElse("_length")
+      val m = graft.route.Matching.greedyMatching(spark,
+        g.edges.select(xxhash64(col("_u")).as("u"), xxhash64(col("_v")).as("v"),
+          col(weight).as("w")))
+      println(s"matched edges: ${m.count()}")
+      m.orderBy("w").show(50, truncate = false)
+
     // near-dedup scale smoke: a deterministic synthetic corpus with
     // planted duplicates runs the FULL MinHash-LSH → Jaccard-verify →
     // connected-components → keep pipeline at whatever row count the
@@ -191,6 +229,9 @@ object Main {
           |  betweenness <pkg> <weightCol> <source...>
           |  kcore <pkg> <k>
           |  clustering <pkg>
+          |  mst <pkg> [weightCol]
+          |  bridges <pkg>
+          |  matching <pkg> [weightCol]
           |  dedup-smoke <nDocs> [threshold]
           |  pagerank <pkg> <iters>
           |  export-gpkg <pkg> <out.gpkg>
