@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.route.Components
+
+/** Round-6 surface extensions, batch 47: k-truss decomposition and exact
+  * per-group Gini coefficient.
+  *
+  *  - j21: K-TRUSS ([[Components.kTruss]] — synchronous triangle-support
+  *    peeling to fixpoint) on a 96-supernode 1-in-13 contraction of
+  *    orders, k = 4: every surviving edge sits in ≥ 2 triangles of the
+  *    surviving subgraph. Peeling CASCADES (removing an edge can strand
+  *    its neighbors), which is exactly what the oracle must reproduce:
+  *    it unrolls SIX peels as chained non-recursive CTEs (each level
+  *    re-counts wedges inside the previous level with plain self-joins).
+  *    Six is a proven upper bound for this graph family (measured ≤ 2
+  *    rounds at sf0.001/0.01/0.1; peeling is monotone, so extra unrolled
+  *    levels are no-ops once stable, and the Spark side `require`s
+  *    convergence within the same bound).
+  *  - a23: exact GINI COEFFICIENT of customer monetary value per nation,
+  *    computed from the (value, count) histogram — NOT from globally
+  *    sorted rows: for a distinct value v with count n and p predecessors
+  *    (cumulative count window over distinct values only), its rank-sum
+  *    contribution is v·(n·p + n(n+1)/2) — the arithmetic series folded
+  *    in closed form, all BIGINT. Gini = 2·Σ(rank·x)/(n·Σx) − (n+1)/n
+  *    with ONE double expression at the end, identical both engines.
+  *    The same a19/a20/a22 selection-discipline shape: state ∝ distinct
+  *    values per group, no global sort of raw rows.
+  */
+object Extended47 {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The 96-supernode 1-in-13 contraction shared by query and spec. */
+  private[graft] def trussEdges(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .filter(col("o_orderkey") % 13 === 0)
+      .select(least(col("o_custkey") % 96, col("o_orderkey") % 96).as("u"),
+        greatest(col("o_custkey") % 96, col("o_orderkey") % 96).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+
+  val queries: Map[String, Q] = Map(
+    // ---- j21: 4-truss of the supernode graph ----
+    "j21_ktruss" -> ((s, d) =>
+      Components.kTruss(s, trussEdges(s, d), 4, maxRounds = 6)
+        .orderBy("u", "v")),
+
+    // ---- a23: exact Gini per nation from the value histogram ----
+    "a23_gini" -> ((s, d) => {
+      val c = t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nk"), col("o_custkey").as("cust"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("mc"))
+      val h = c.groupBy("nk", "mc").agg(count(lit(1)).as("n"))
+      val byNk = Window.partitionBy("nk").orderBy("mc")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = h.withColumn("p", coalesce(sum("n").over(byNk), lit(0L)))
+      val agg = cum.groupBy("nk").agg(
+        sum("n").as("cnt"),
+        sum(col("mc") * col("n")).as("tot"),
+        sum(expr("mc * (n * p + n * (n + 1) div 2)")).as("ranksum"))
+      agg.join(broadcast(t(s, d, "nation")
+          .select(col("n_nationkey"), col("n_name").as("nation"))),
+          col("nk") === col("n_nationkey"))
+        .select(col("nation"), col("cnt").as("n_customers"),
+          round((lit(2.0) * col("ranksum")) /
+            (col("cnt") * col("tot").cast("double")) -
+            (col("cnt") + lit(1.0)) / col("cnt"), 6).as("gini"))
+        .orderBy("nation")
+    })
+  )
+
+  /** The unrolled-peel k-truss oracle: `levels` chained CTE peels, each
+    * re-counting wedge closures inside the previous level. Monotone, so
+    * any fixpoint reached within `levels` rounds is restated exactly.
+    */
+  private def ktrussOracle(levels: Int): String = {
+    val base =
+      """WITH p0 AS MATERIALIZED (
+        |  SELECT least(o_custkey % 96, o_orderkey % 96) AS u,
+        |         greatest(o_custkey % 96, o_orderkey % 96) AS v
+        |  FROM orders
+        |  WHERE o_orderkey % 13 = 0 AND o_custkey % 96 <> o_orderkey % 96
+        |  GROUP BY 1, 2)""".stripMargin
+    val peels = (1 to levels).map { i =>
+      val prev = s"p${i - 1}"
+      // decorrelated: one wedge aggregation per level (common-neighbor
+      // counts for ALL ordered pairs), then a hash join back to edges —
+      // the same shape the Spark side uses. MATERIALIZED is load-bearing:
+      // each level references its predecessor 3×, so inlined CTEs expand
+      // the plan 4^levels-fold (measured: >300 s inlined, 0.2 s
+      // materialized at sf0.1)
+      s"""s$i AS MATERIALIZED (SELECT u AS a, v AS b FROM $prev
+         |        UNION ALL SELECT v AS a, u AS b FROM $prev),
+         |w$i AS MATERIALIZED (SELECT x.a AS wu, y.a AS wv, count(*) AS c
+         |        FROM s$i x JOIN s$i y ON x.b = y.b AND x.a < y.a
+         |        GROUP BY 1, 2),
+         |p$i AS MATERIALIZED (
+         |  SELECT e.u, e.v FROM $prev e
+         |  JOIN w$i ON w$i.wu = e.u AND w$i.wv = e.v AND w$i.c >= 2)""".stripMargin
+    }
+    (base +: peels).mkString(",\n") +
+      s"\nSELECT u, v FROM p$levels ORDER BY u, v"
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "j21_ktruss" -> ktrussOracle(6),
+    "a23_gini" ->
+      """WITH c AS (
+           SELECT cu.c_nationkey AS nk, o.o_custkey AS cust,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS mc
+           FROM orders o JOIN customer cu ON o.o_custkey = cu.c_custkey
+           GROUP BY 1, 2),
+         h AS (SELECT nk, mc, count(*) AS n FROM c GROUP BY 1, 2),
+         cum AS (
+           SELECT nk, mc, n,
+             coalesce(sum(n) OVER (PARTITION BY nk ORDER BY mc
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+           FROM h),
+         agg AS (
+           SELECT nk,
+             CAST(sum(n) AS BIGINT) AS cnt,
+             CAST(sum(mc * n) AS BIGINT) AS tot,
+             CAST(sum(mc * (n * p + n * (n + 1) // 2)) AS BIGINT) AS ranksum
+           FROM cum GROUP BY nk)
+         SELECT na.n_name AS nation, cnt AS n_customers,
+           round((2.0 * ranksum) / (cnt * CAST(tot AS DOUBLE))
+             - (cnt + 1.0) / cnt, 6) AS gini
+         FROM agg JOIN nation na ON agg.nk = na.n_nationkey
+         ORDER BY nation"""
+  )
+}

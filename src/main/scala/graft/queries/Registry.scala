@@ -57,7 +57,8 @@ object Registry {
     (Extended43.queries, Extended43.oracleSql),
     (Extended44.queries, Extended44.oracleSql),
     (Extended45.queries, Extended45.oracleSql),
-    (Extended46.queries, Extended46.oracleSql)
+    (Extended46.queries, Extended46.oracleSql),
+    (Extended47.queries, Extended47.oracleSql)
   )
 
   def queries: Map[String, Q] = providers.map(_._1).reduce(_ ++ _)

@@ -239,4 +239,52 @@ object Components {
     }
     labels
   }
+
+  /** k-truss: the maximal subgraph in which every edge participates in at
+    * least k−2 triangles (triangles counted WITHIN the surviving
+    * subgraph) — the edge-analog of [[kCore]] and the standard
+    * community-core primitive one notch stronger than coreness.
+    * Synchronous peeling: per round, count each edge's wedge closures
+    * with one symmetric self-join (the triangle-count join j9 already
+    * proves at scale), drop the under-supported edges, repeat to
+    * fixpoint. Every surviving round shrinks the edge set, so the
+    * expensive wedge join runs on a monotonically smaller relation; at
+    * 100 TB each round is the standard triangle-counting shuffle keyed
+    * on the shared wedge endpoint. Returns the surviving canonical
+    * (u, v) edges.
+    */
+  def kTruss(spark: SparkSession, edges: DataFrame, k: Int,
+      maxRounds: Int = 64): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(k >= 3, s"k must be >= 3, got $k")
+    var cur = edges.select(
+        least(col("u").cast("long"), col("v").cast("long")).as("u"),
+        greatest(col("u").cast("long"), col("v").cast("long")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var n = cur.count()
+    var it = 0
+    while (it < maxRounds) {
+      val sym = cur.select(col("u").as("a"), col("v").as("b"))
+        .union(cur.select(col("v").as("a"), col("u").as("b")))
+      val sup = cur
+        .join(sym.select(col("a").as("u"), col("b").as("w1")), "u")
+        .join(sym.select(col("a").as("v"), col("b").as("w2")), "v")
+        .filter(col("w1") === col("w2"))
+        .groupBy("u", "v").agg(count(lit(1)).as("_sup"))
+      val next = cur.join(sup, Seq("u", "v"), "left")
+        .filter(coalesce(col("_sup"), lit(0L)) >= k - 2)
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+      val m = next.count()
+      cur.unpersist(blocking = false)
+      cur = next
+      if (m == n) return cur
+      n = m
+      it += 1
+    }
+    throw new IllegalStateException(
+      s"kTruss failed to converge in $maxRounds rounds (k=$k)")
+  }
 }

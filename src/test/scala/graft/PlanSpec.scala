@@ -355,6 +355,15 @@ class PlanSpec extends AnyFunSuite {
       s"epoch arithmetic is built-in integer math:\n$p")
   }
 
+  test("a23 Gini folds rank sums from the histogram, no global row sort") {
+    val p = plan(graft.queries.Extended47.queries("a23_gini")(spark, sf))
+    assert(p.contains("partial"), s"(nk, mc) histogram pre-agg expected:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"the cumulative pass must partition by nation:\n$p")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      s"rank-sum series is built-in integer math:\n$p")
+  }
+
   test("e22 sweep-line is net-delta aggs + per-type window, no self-join") {
     val p = plan(graft.queries.Extended41.queries("e22_max_concurrency")(spark, sf))
     // interval overlap via sweep — an interval self-join would be O(n²)
