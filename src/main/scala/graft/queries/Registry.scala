@@ -58,7 +58,8 @@ object Registry {
     (Extended44.queries, Extended44.oracleSql),
     (Extended45.queries, Extended45.oracleSql),
     (Extended46.queries, Extended46.oracleSql),
-    (Extended47.queries, Extended47.oracleSql)
+    (Extended47.queries, Extended47.oracleSql),
+    (Extended48.queries, Extended48.oracleSql)
   )
 
   def queries: Map[String, Q] = providers.map(_._1).reduce(_ ++ _)

@@ -364,6 +364,14 @@ class PlanSpec extends AnyFunSuite {
       s"rank-sum series is built-in integer math:\n$p")
   }
 
+  test("v7 label agreement: GroupTopK per point, codegen kernel, no window") {
+    val p = plan(graft.queries.Extended48.queries("v7_knn_label_agreement")(spark, sf))
+    assert(p.contains("GroupTopK"),
+      s"per-point top-10 must use the bounded-heap operator:\n$p")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      s"cosine is the native expression:\n$p")
+  }
+
   test("e22 sweep-line is net-delta aggs + per-type window, no self-join") {
     val p = plan(graft.queries.Extended41.queries("e22_max_concurrency")(spark, sf))
     // interval overlap via sweep — an interval self-join would be O(n²)
