@@ -60,7 +60,8 @@ object Registry {
     (Extended46.queries, Extended46.oracleSql),
     (Extended47.queries, Extended47.oracleSql),
     (Extended48.queries, Extended48.oracleSql),
-    (Extended49.queries, Extended49.oracleSql)
+    (Extended49.queries, Extended49.oracleSql),
+    (Extended50.queries, Extended50.oracleSql)
   )
 
   def queries: Map[String, Q] = providers.map(_._1).reduce(_ ++ _)

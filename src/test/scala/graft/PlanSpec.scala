@@ -372,6 +372,21 @@ class PlanSpec extends AnyFunSuite {
       s"cosine is the native expression:\n$p")
   }
 
+  test("j24 skyline: per-day best + broadcast, never a dominance pair join") {
+    val p = plan(graft.queries.Extended50.queries("j24_skyline")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"no quadratic dominance join:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"the (day, bestAfter) relation must broadcast:\n$p")
+  }
+
+  test("u7 snapshot diff is one full-outer join, no window, no re-probe") {
+    val p = plan(graft.queries.Extended50.queries("u7_snapshot_diff")(spark, sf))
+    assert(p.contains("FullOuter"), s"delta must be one full outer join:\n$p")
+    assert(!p.contains("RunningWindowFunction"),
+      s"per-op rollup is an aggregation:\n$p")
+  }
+
   test("e22 sweep-line is net-delta aggs + per-type window, no self-join") {
     val p = plan(graft.queries.Extended41.queries("e22_max_concurrency")(spark, sf))
     // interval overlap via sweep — an interval self-join would be O(n²)
