@@ -61,7 +61,8 @@ object Registry {
     (Extended47.queries, Extended47.oracleSql),
     (Extended48.queries, Extended48.oracleSql),
     (Extended49.queries, Extended49.oracleSql),
-    (Extended50.queries, Extended50.oracleSql)
+    (Extended50.queries, Extended50.oracleSql),
+    (Extended51.queries, Extended51.oracleSql)
   )
 
   def queries: Map[String, Q] = providers.map(_._1).reduce(_ ++ _)
