@@ -29,7 +29,9 @@ object ExplainDump {
     "a20_weighted_median", "e22_max_concurrency", "q23_product_profit",
     "q24_market_share", "a21_mode", "tp16_importance_score",
     "tp17_hard_negatives", "a22_mad", "e24_rfm_segments",
-    "tp18_domain_upsample")
+    "tp18_domain_upsample", "a23_gini", "a24_hhi", "j24_skyline",
+    "u7_snapshot_diff", "tp19_dataset_card", "v7_knn_label_agreement",
+    "t21_readability", "j22_assortativity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
