@@ -63,7 +63,8 @@ object Registry {
     (Extended49.queries, Extended49.oracleSql),
     (Extended50.queries, Extended50.oracleSql),
     (Extended51.queries, Extended51.oracleSql),
-    (Extended52.queries, Extended52.oracleSql)
+    (Extended52.queries, Extended52.oracleSql),
+    (Extended53.queries, Extended53.oracleSql)
   )
 
   def queries: Map[String, Q] = providers.map(_._1).reduce(_ ++ _)
