@@ -172,6 +172,23 @@ object Main {
       println(s"matched edges: ${m.count()}")
       m.orderBy("w").show(50, truncate = false)
 
+    // walkshed: every node within network cost of the source — the
+    // reference's pedestrian-reachability question
+    case "walkshed" :: pkg :: source :: cost :: rest if rest.length <= 1 =>
+      import org.apache.spark.sql.functions.{col, xxhash64}
+      val g = GraphPackage.load(spark, pkg)
+      val weight = rest.headOption.getOrElse("_length")
+      val ids = g.nodes.select(col("_n"), xxhash64(col("_n")).as("_vid"))
+      val iso = graft.route.Isochrone.isochrone(spark,
+        g.edges.select(xxhash64(col("_u")).as("u"), xxhash64(col("_v")).as("v"),
+          col(weight).as("w")),
+        source = ids.filter(col("_n") === source).head.getLong(1),
+        cutoff = cost.toDouble)
+      println(s"reachable nodes: ${iso.count()}")
+      iso.join(ids, iso("node") === ids("_vid"))
+        .select(col("_n"), col("dist")).orderBy("dist")
+        .show(50, truncate = false)
+
     // near-dedup scale smoke: a deterministic synthetic corpus with
     // planted duplicates runs the FULL MinHash-LSH → Jaccard-verify →
     // connected-components → keep pipeline at whatever row count the
@@ -232,6 +249,7 @@ object Main {
           |  mst <pkg> [weightCol]
           |  bridges <pkg>
           |  matching <pkg> [weightCol]
+          |  walkshed <pkg> <node> <cost> [weightCol]
           |  dedup-smoke <nDocs> [threshold]
           |  pagerank <pkg> <iters>
           |  export-gpkg <pkg> <out.gpkg>

@@ -64,7 +64,8 @@ object Registry {
     (Extended50.queries, Extended50.oracleSql),
     (Extended51.queries, Extended51.oracleSql),
     (Extended52.queries, Extended52.oracleSql),
-    (Extended53.queries, Extended53.oracleSql)
+    (Extended53.queries, Extended53.oracleSql),
+    (Extended54.queries, Extended54.oracleSql)
   )
 
   def queries: Map[String, Q] = providers.map(_._1).reduce(_ ++ _)
