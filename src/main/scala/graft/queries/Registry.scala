@@ -65,7 +65,8 @@ object Registry {
     (Extended51.queries, Extended51.oracleSql),
     (Extended52.queries, Extended52.oracleSql),
     (Extended53.queries, Extended53.oracleSql),
-    (Extended54.queries, Extended54.oracleSql)
+    (Extended54.queries, Extended54.oracleSql),
+    (Extended55.queries, Extended55.oracleSql)
   )
 
   def queries: Map[String, Q] = providers.map(_._1).reduce(_ ++ _)
