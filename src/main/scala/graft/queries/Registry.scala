@@ -66,7 +66,8 @@ object Registry {
     (Extended52.queries, Extended52.oracleSql),
     (Extended53.queries, Extended53.oracleSql),
     (Extended54.queries, Extended54.oracleSql),
-    (Extended55.queries, Extended55.oracleSql)
+    (Extended55.queries, Extended55.oracleSql),
+    (Extended56.queries, Extended56.oracleSql)
   )
 
   def queries: Map[String, Q] = providers.map(_._1).reduce(_ ++ _)
