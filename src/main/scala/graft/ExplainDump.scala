@@ -31,7 +31,9 @@ object ExplainDump {
     "tp17_hard_negatives", "a22_mad", "e24_rfm_segments",
     "tp18_domain_upsample", "a23_gini", "a24_hhi", "j24_skyline",
     "u7_snapshot_diff", "tp19_dataset_card", "v7_knn_label_agreement",
-    "t21_readability", "j22_assortativity")
+    "t21_readability", "j22_assortativity", "w11_longest_streak",
+    "e26_active_users", "e27_robust_outliers", "e28_max_drawdown",
+    "e29_cusum_excursion", "j25_link_prediction")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
