@@ -223,6 +223,52 @@ object Main {
       println(f"dedup-smoke: docs=$nDocs kept=$kept expected≈$expected " +
         f"dropped=${nDocs - kept} wall=$wall%.1fs")
 
+    // train an ANN index over a parquet embeddings table (vec_id,
+    // embedding) and persist the artifact — the build half of the
+    // train-once/query-many split. kind: ivf [nCentroids] | pq [m ksub] |
+    // sq8. Training scans the corpus once; the artifact is kilobytes.
+    case "build-index" :: emb :: out :: kind :: rest =>
+      import graft.llm.Similarity
+      import graft.store.AnnStore
+      val e = spark.read.parquet(emb)
+      kind match {
+        case "ivf" =>
+          val k = rest.headOption.map(_.toInt).getOrElse(16)
+          AnnStore.saveIvf(spark,
+            Similarity.buildIvfIndex(e, "vec_id", "embedding", k), out)
+        case "pq" =>
+          val m = rest.headOption.map(_.toInt).getOrElse(8)
+          val ksub = rest.drop(1).headOption.map(_.toInt).getOrElse(16)
+          val dim = e.select(org.apache.spark.sql.functions.size(
+            org.apache.spark.sql.functions.col("embedding"))).head.getInt(0)
+          AnnStore.savePq(spark,
+            Similarity.buildPqIndex(e, "vec_id", "embedding", dim, m, ksub), out)
+        case "sq8" =>
+          AnnStore.saveSq8(spark, Similarity.buildSq8Index(e, "embedding"), out)
+        case other => sys.error(s"unknown index kind '$other' (ivf|pq|sq8)")
+      }
+      println(s"built ${AnnStore.kindOf(out)} index at $out over ${e.count()} vectors")
+
+    // query a persisted ANN index: top-k neighbours of the vector with
+    // the given id — no training jobs, the artifact is loaded and used
+    case "ann-topk" :: emb :: idx :: qid :: k :: Nil =>
+      import org.apache.spark.sql.functions.col
+      import graft.llm.Similarity
+      import graft.store.AnnStore
+      val e = spark.read.parquet(emb)
+      val qv = e.filter(col("vec_id") === qid.toLong)
+        .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
+      val rest = e.filter(col("vec_id") =!= qid.toLong)
+      val res = AnnStore.kindOf(idx) match {
+        case "ivf" => Similarity.ivfTopKWith(AnnStore.loadIvf(spark, idx),
+          rest, "vec_id", "embedding", qv, k.toInt)
+        case "pq" => Similarity.pqTopKWith(AnnStore.loadPq(spark, idx),
+          rest, "vec_id", "embedding", qv, k.toInt)
+        case "sq8" => Similarity.sq8TopKWith(AnnStore.loadSq8(spark, idx),
+          rest, "vec_id", "embedding", qv, k.toInt)
+      }
+      res.show(k.toInt, truncate = false)
+
     // fixed-iteration DataFrame PageRank (dangling mass dropped)
     case "pagerank" :: pkg :: iters :: Nil =>
       import org.apache.spark.sql.functions.{col, xxhash64}
@@ -251,6 +297,8 @@ object Main {
           |  matching <pkg> [weightCol]
           |  walkshed <pkg> <node> <cost> [weightCol]
           |  dedup-smoke <nDocs> [threshold]
+          |  build-index <embeddings.parquet> <out> <ivf [nCentroids]|pq [m ksub]|sq8>
+          |  ann-topk <embeddings.parquet> <index> <queryVecId> <k>
           |  pagerank <pkg> <iters>
           |  export-gpkg <pkg> <out.gpkg>
           |  import-gpkg <in.gpkg>

@@ -48,13 +48,20 @@ object Extended8 {
     // lowest-id-on-tie argmin encode, and the ascending-order distance
     // folds, so every double is bit-identical through the candidate
     // boundary.
+    // codebooks go through a persist → reload round trip (AnnStore), so
+    // the oracle hash also certifies artifact fidelity — see ann_ivf_topk
     "ann_pq_topk" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       val qv = e.filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>"))
         .head.getSeq[Double](0)
-      Similarity.pqTopK(e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
-          qv, k = 10, m = 8, ksub = 16, refine = 50)
+      val rest = e.filter(col("vec_id") =!= 0)
+      val idxPath = Scratch.dir("ann_pq", d)
+      graft.store.AnnStore.savePq(s,
+        Similarity.buildPqIndex(rest, "vec_id", "embedding", qv.length,
+          m = 8, ksub = 16, trainIters = 2), idxPath)
+      Similarity.pqTopKWith(graft.store.AnnStore.loadPq(s, idxPath),
+          rest, "vec_id", "embedding", qv, k = 10, refine = 50)
         .select(col("vec_id"), round(col("sim"), 4).as("sim"))
     })
   )

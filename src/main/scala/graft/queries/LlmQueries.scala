@@ -85,12 +85,21 @@ object LlmQueries {
         .orderBy(col("sim").desc, col("vec_id"))
         .limit(10)
     }),
+    // train → persist (AnnStore) → reload → query: the oracle hash on
+    // every sweep certifies that an index answered via the saved-then-
+    // loaded artifact is bit-identical to the in-memory one — the
+    // train-once/query-many contract at 100 TB
     "ann_ivf_topk" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
         .head.getSeq[Float](0).map(_.toDouble)
-      Similarity.ivfTopK(e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
-        qv, 10, nCentroids = 16, nProbe = 6)
+      val rest = e.filter(col("vec_id") =!= 0)
+      val idxPath = Scratch.dir("ann_ivf", d)
+      graft.store.AnnStore.saveIvf(s,
+        Similarity.buildIvfIndex(rest, "vec_id", "embedding",
+          nCentroids = 16, trainIters = 2), idxPath)
+      Similarity.ivfTopKWith(graft.store.AnnStore.loadIvf(s, idxPath),
+        rest, "vec_id", "embedding", qv, 10, nProbe = 6)
         .select(col("vec_id"), round(col("sim"), 4).as("sim"))
     }),
     "ann_lsh_topk" -> ((s, d) => {

@@ -1,0 +1,137 @@
+package graft.store
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llm.Similarity.{IvfIndex, PqIndex, Sq8Index}
+
+/** Persistence for trained ANN artifacts — the build/query split the
+  * similarity layer already has ([[graft.llm.Similarity.IvfIndex]],
+  * [[graft.llm.Similarity.PqIndex]], [[graft.llm.Similarity.Sq8Index]]),
+  * made durable. The reference persists its whole query index inside the
+  * .gpkg file (`feature_table.py:265-414`: the R-tree rides along with
+  * the data); our ANN indexes meet the same bar — train once at
+  * index-build time, write the artifact next to the data, and every
+  * later query session loads it instead of re-running the Lloyd jobs.
+  * At 100 TB that is the whole point: training scans the corpus (or a
+  * sample), the artifact itself is k×dim doubles — kilobytes — so
+  * shipping it to 1000 executors is a broadcast, not a job.
+  *
+  * Layout (same tmp-dir + atomic-rename discipline as [[GraphPackage]]):
+  * ```
+  * <path>/
+  *   index.json   -- {"format_version":1,"kind":"ivf","dim":D,...params}
+  *   data/        -- parquet; one row per centroid / codeword / dimension
+  * ```
+  * Doubles round-trip bit-exactly through parquet (IEEE-754 storage), so
+  * a query answered via a saved-then-loaded index is hash-identical to
+  * one answered via the in-memory artifact — the oracle-gated ann_ivf /
+  * ann_pq registry queries run through this round trip on every sweep.
+  */
+object AnnStore {
+
+  val FormatVersion = 1
+
+  // ---- IVF: (cid, centroid vector) ----
+
+  def saveIvf(spark: SparkSession, index: IvfIndex, path: String): Unit = {
+    val rows = index.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+    writeArtifact(spark, path, kind = "ivf",
+      params = s""""n_centroids": ${index.centroids.length}, "dim": ${index.centroids.head.length}""") {
+      tmp =>
+        import spark.implicits._
+        rows.toSeq.toDF("cid", "vec")
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$tmp/data")
+    }
+  }
+
+  def loadIvf(spark: SparkSession, path: String): IvfIndex = {
+    requireKind(path, "ivf")
+    val cents = spark.read.parquet(s"$path/data")
+      .select("cid", "vec").collect()
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+    require(cents.nonEmpty, s"empty IVF artifact at $path")
+    IvfIndex(cents)
+  }
+
+  // ---- PQ: (subspace j, codeword c, sub-vector) ----
+
+  def savePq(spark: SparkSession, index: PqIndex, path: String): Unit = {
+    val rows = for {
+      j <- index.codebook.indices
+      c <- index.codebook(j).indices
+    } yield (j, c, index.codebook(j)(c).toSeq)
+    writeArtifact(spark, path, kind = "pq",
+      params = s""""m": ${index.m}, "ksub": ${index.ksub}, "sub_dim": ${index.subDim}""") {
+      tmp =>
+        import spark.implicits._
+        rows.toDF("j", "c", "vec")
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$tmp/data")
+    }
+  }
+
+  def loadPq(spark: SparkSession, path: String): PqIndex = {
+    requireKind(path, "pq")
+    val rows = spark.read.parquet(s"$path/data")
+      .select("j", "c", "vec").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
+      .toMap
+    require(rows.nonEmpty, s"empty PQ artifact at $path")
+    val m = rows.keys.map(_._1).max + 1
+    val ksub = rows.keys.map(_._2).max + 1
+    PqIndex(Array.tabulate(m, ksub)((j, c) => rows((j, c))))
+  }
+
+  // ---- SQ8: (dimension p, min, max) ----
+
+  def saveSq8(spark: SparkSession, index: Sq8Index, path: String): Unit =
+    writeArtifact(spark, path, kind = "sq8",
+      params = s""""dim": ${index.dim}""") { tmp =>
+      import spark.implicits._
+      index.mins.indices.map(p => (p, index.mins(p), index.maxs(p)))
+        .toDF("p", "mn", "mx")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$tmp/data")
+    }
+
+  def loadSq8(spark: SparkSession, path: String): Sq8Index = {
+    requireKind(path, "sq8")
+    val rows = spark.read.parquet(s"$path/data")
+      .select("p", "mn", "mx").collect().sortBy(_.getInt(0))
+    require(rows.nonEmpty, s"empty SQ8 artifact at $path")
+    Sq8Index(rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+  }
+
+  /** Kind of the artifact at `path` ("ivf" / "pq" / "sq8"), from the
+    * header — lets a CLI query verb dispatch without being told.
+    */
+  def kindOf(path: String): String = {
+    val meta = Paths.get(path, "index.json")
+    require(Files.exists(meta), s"no ANN artifact at $path (missing index.json)")
+    val txt = Files.readString(meta)
+    "\"kind\":\\s*\"(\\w+)\"".r.findFirstMatchIn(txt)
+      .map(_.group(1))
+      .getOrElse(sys.error(s"malformed ANN artifact header at $path"))
+  }
+
+  private def requireKind(path: String, kind: String): Unit = {
+    val got = kindOf(path)
+    require(got == kind, s"ANN artifact at $path is '$got', expected '$kind'")
+  }
+
+  /** Write `data/` via `body`, then the header, then atomically swap the
+    * tmp dir into place — a crash leaves either the old artifact or the
+    * new one, never a half-written directory.
+    */
+  private def writeArtifact(spark: SparkSession, path: String, kind: String,
+      params: String)(body: String => Unit): Unit = {
+    val tmp = path + ".tmp"
+    GraphPackage.deleteRecursive(Paths.get(tmp))
+    body(tmp)
+    Files.writeString(Paths.get(tmp, "index.json"),
+      s"""{"format_version": $FormatVersion, "kind": "$kind", $params}""")
+    GraphPackage.atomicSwap(tmp, path)
+  }
+}

@@ -62,7 +62,7 @@ object GraphPackage {
     * the old package (possibly under .old) or the new one on disk — never
     * neither (deleting dst before the move would lose it on a crash).
     */
-  private def atomicSwap(tmp: String, path: String): Unit = {
+  private[store] def atomicSwap(tmp: String, path: String): Unit = {
     val dst = Paths.get(path)
     val bak = Paths.get(path + ".old")
     deleteRecursive(bak)

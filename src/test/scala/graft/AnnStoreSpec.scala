@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Similarity
+import graft.store.AnnStore
+
+/** Persistence of trained ANN artifacts (graft.store.AnnStore): the
+  * train-once/query-many contract. An index built in one session, saved,
+  * and loaded in ANOTHER session must hold bit-identical parameters and
+  * answer queries identically to the in-memory artifact — no retraining.
+  */
+class AnnStoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def emb = Tables.t(spark, sf, "embeddings")
+  private def rest = emb.filter(col("vec_id") =!= 0)
+  private def qv: Seq[Double] = emb.filter(col("vec_id") === 0)
+    .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
+
+  private def scratch(tag: String): String =
+    Files.createTempDirectory(s"graft-annstore-$tag").resolve("idx").toString
+
+  test("IVF round trip is bit-exact and query-identical across sessions") {
+    val built = Similarity.buildIvfIndex(rest, "vec_id", "embedding",
+      nCentroids = 16, trainIters = 2)
+    val path = scratch("ivf")
+    AnnStore.saveIvf(spark, built, path)
+
+    // a FRESH session (own session state) stands in for the next day's
+    // query job: load must reproduce the training bit-for-bit
+    val session2 = spark.newSession()
+    val loaded = AnnStore.loadIvf(session2, path)
+    assert(loaded.centroids.length == built.centroids.length)
+    built.centroids.zip(loaded.centroids).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b), "centroid doubles must round-trip bit-exactly")
+    }
+
+    val viaBuilt = Similarity.ivfTopKWith(built, rest, "vec_id", "embedding",
+      qv, 10, nProbe = 6).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaLoaded = Similarity.ivfTopKWith(loaded,
+      Tables.t(session2, sf, "embeddings").filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", qv, 10, nProbe = 6)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaBuilt == viaLoaded)
+  }
+
+  test("PQ codebook round trip is bit-exact and query-identical") {
+    val built = Similarity.buildPqIndex(rest, "vec_id", "embedding",
+      dim = qv.length, m = 8, ksub = 16, trainIters = 2)
+    val path = scratch("pq")
+    AnnStore.savePq(spark, built, path)
+    val loaded = AnnStore.loadPq(spark, path)
+    assert((loaded.m, loaded.ksub, loaded.subDim) == (built.m, built.ksub, built.subDim))
+    for (j <- 0 until built.m; c <- 0 until built.ksub)
+      assert(java.util.Arrays.equals(built.codebook(j)(c), loaded.codebook(j)(c)))
+    val a = Similarity.pqTopKWith(built, rest, "vec_id", "embedding", qv, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = Similarity.pqTopKWith(loaded, rest, "vec_id", "embedding", qv, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b)
+  }
+
+  test("SQ8 grid round trip is bit-exact and query-identical") {
+    val built = Similarity.buildSq8Index(rest, "embedding")
+    val path = scratch("sq8")
+    AnnStore.saveSq8(spark, built, path)
+    val loaded = AnnStore.loadSq8(spark, path)
+    assert(java.util.Arrays.equals(built.mins, loaded.mins))
+    assert(java.util.Arrays.equals(built.maxs, loaded.maxs))
+    val a = Similarity.sq8TopKWith(built, rest, "vec_id", "embedding", qv, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = Similarity.sq8TopKWith(loaded, rest, "vec_id", "embedding", qv, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b)
+  }
+
+  test("kind header is enforced and discoverable") {
+    val path = scratch("kind")
+    AnnStore.saveSq8(spark, Similarity.buildSq8Index(rest, "embedding"), path)
+    assert(AnnStore.kindOf(path) == "sq8")
+    val err = intercept[IllegalArgumentException](AnnStore.loadIvf(spark, path))
+    assert(err.getMessage.contains("sq8"))
+  }
+
+  test("save over an existing artifact atomically replaces it") {
+    val path = scratch("swap")
+    val idx4 = Similarity.buildIvfIndex(rest, "vec_id", "embedding",
+      nCentroids = 4, trainIters = 1)
+    val idx8 = Similarity.buildIvfIndex(rest, "vec_id", "embedding",
+      nCentroids = 8, trainIters = 1)
+    AnnStore.saveIvf(spark, idx4, path)
+    AnnStore.saveIvf(spark, idx8, path)
+    assert(AnnStore.loadIvf(spark, path).centroids.length == 8)
+  }
+}
