@@ -45,23 +45,18 @@ object Extended39 {
       val hist = t(s, d, "lineitem")
         .select(round(col("l_extendedprice") * 100).cast("long").as("v"))
         .groupBy("v").agg(count(lit(1)).as("c"))
-      // cumulative counts over the distinct-value domain, then pick rank
-      // ⌈q·n⌉ per quantile. The partitionless window is over the price
-      // DOMAIN (≤ price-range × 100 cents, fixed), not over rows — it
-      // stays the same size at 100 TB; that bound is what makes histogram
-      // selection the scale path (tp1's two-level cumsum is the fallback
-      // for unbounded domains)
-      val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-      val cum = hist.select(col("v"), sum("c").over(w).as("cum"))
-      val tot = hist.agg(sum("c").as("n"))
+        .localCheckpoint() // three rank selections reuse it
+      // rank ⌈q·n⌉ per quantile by TWO-LEVEL selection over the cent-price
+      // domain (operators/Selection): bucket partial sums in a parallel
+      // hash agg; the cumulative walk runs over the BOUNDED bucket
+      // summaries (domain/4096 rows — sf-invariant) and all three
+      // quantiles share the two passes. ceil(q·tw) is the identical
+      // double expression the oracle evaluates.
       val qs = Seq(0.5, 0.9, 0.99)
-      val sel = qs.map { q =>
-        cum.join(broadcast(tot))
-          .filter(col("cum") >= ceil(lit(q) * col("n")))
-          .agg(min("v").as("v"))
-          .select(lit(q).as("q"), col("v"))
-      }.reduce(_ unionByName _)
-      sel.select(col("q"),
+      graft.operators.Selection.selectRanksBounded(hist, Seq.empty, "v", "c",
+          qs.map(q => (q.toString, (tw: Long) => math.ceil(q * tw).toLong)),
+          "q", "v")
+        .select(col("q").cast("double").as("q"),
           round(col("v").cast("double") / 100.0, 2).as("value"))
         .orderBy("q")
     })

@@ -59,12 +59,12 @@ object Extended41 {
       val g = t(s, d, "lineitem")
         .groupBy(col("l_returnflag").as("flag"), col("l_extendedprice").as("p"))
         .agg(sum(col("l_quantity").cast("long")).as("w"))
-      val byFlag = Window.partitionBy("flag")
-      val c = g.select(col("flag"), col("p"),
-        sum("w").over(byFlag.orderBy("p")).as("cw"),
-        sum("w").over(byFlag).as("tw"))
-      c.filter(lit(2) * col("cw") >= col("tw"))
-        .groupBy("flag").agg(min("p").as("wmedian"))
+      // two-level bucketed selection over the (flag, price, weight)
+      // histogram (operators/Selection) — same min-p-with-2cw≥tw rule as
+      // the oracle, no full-histogram per-group window. Width 256 keeps
+      // both levels bounded on the double price domain (~[900, 105000)).
+      graft.operators.Selection.lowerMedianBounded(g, Seq("flag"), "p", "w",
+          "wmedian", bucketWidth = 256.0)
         .orderBy("flag")
     }),
 

@@ -55,21 +55,24 @@ object Extended45 {
       // histogram re-keyed by |pc − med| (two distinct values can fold
       // into one deviation, hence the re-aggregation), so pass 2 costs
       // O(distinct values), not O(rows)
+      // 8 partitions is plenty for the ~500k-row histogram; the four
+      // bounded selection jobs each launch 8 tasks instead of 32
       val cnt = x.groupBy("flag", "pc").agg(count(lit(1)).as("n"))
-        .localCheckpoint()
-      def lowerMedian(counts: DataFrame, valCol: String,
-          outCol: String): DataFrame = {
-        val byFlag = Window.partitionBy("flag")
-        counts.select(col("flag"), col(valCol),
-            sum("n").over(byFlag.orderBy(valCol)).as("cw"),
-            sum("n").over(byFlag).as("tw"))
-          .filter(lit(2) * col("cw") >= col("tw"))
-          .groupBy("flag").agg(min(valCol).as(outCol))
-      }
+        .coalesce(8).localCheckpoint()
+      // two-level bucketed selection (operators/Selection): parallel
+      // bucket partial sums, then the cumulative walk over the BOUNDED
+      // summaries (≤ domain/4096 + 4096 rows — the cent-price domain is
+      // sf-invariant) on the driver; never the whole per-group histogram
+      // through one reducer
+      def lowerMedian(counts: DataFrame, valCol: String, outCol: String) =
+        graft.operators.Selection.lowerMedianBounded(counts, Seq("flag"),
+          valCol, "n", outCol)
       val med = lowerMedian(cnt, "pc", "medc")
+      // no re-aggregation by dv: the bounded selection's bucket pass is a
+      // map-side partial agg anyway, and its in-bucket walk sums duplicate
+      // keys correctly — one shuffle saved
       val devCnt = cnt.join(broadcast(med), "flag")
         .select(col("flag"), abs(col("pc") - col("medc")).as("dv"), col("n"))
-        .groupBy("flag", "dv").agg(sum("n").as("n"))
       val mad = lowerMedian(devCnt, "dv", "madc")
       med.join(mad, "flag")
         .select(col("flag"),

@@ -29,19 +29,16 @@ object Extended54 {
         round(col("value") * 1000).cast("long").as("v"))
       val cnt = x.groupBy("et", "v").agg(count(lit(1)).as("n"))
         .localCheckpoint()
-      def lowerMedian(counts: DataFrame, valCol: String,
-          outCol: String): DataFrame = {
-        val byEt = Window.partitionBy("et")
-        counts.select(col("et"), col(valCol),
-            sum("n").over(byEt.orderBy(valCol)).as("cw"),
-            sum("n").over(byEt).as("tw"))
-          .filter(lit(2) * col("cw") >= col("tw"))
-          .groupBy("et").agg(min(valCol).as(outCol))
-      }
+      // two-level bucketed selection — see a22_mad / operators/Selection
+      def lowerMedian(counts: DataFrame, valCol: String, outCol: String) =
+        graft.operators.Selection.lowerMedianBounded(counts, Seq("et"),
+          valCol, "n", outCol)
       val med = lowerMedian(cnt, "v", "medv")
+      // unaggregated dev rows: the bounded selection tolerates duplicate
+      // keys (bucket pass partial-aggregates, driver walk sums) — one
+      // shuffle saved; see a22_mad
       val devCnt = cnt.join(broadcast(med), "et")
         .select(col("et"), abs(col("v") - col("medv")).as("dv"), col("n"))
-        .groupBy("et", "dv").agg(sum("n").as("n"))
       val mad = lowerMedian(devCnt, "dv", "madv")
       cnt.join(broadcast(med), "et").join(broadcast(mad), "et")
         .groupBy("et")
