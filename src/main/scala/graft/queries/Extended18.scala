@@ -168,10 +168,21 @@ object Extended18 {
       mode: OutputMode): DataFrame = {
     s.catalog.dropTempView(name)
     val ckpt = Files.createTempDirectory(s"graft_ckpt_$name").toString
-    val q = out.writeStream.format("memory").queryName(name)
-      .outputMode(mode).option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    // streaming state parallelism sized to the replay: every micro-batch
+    // commits one state store PER shuffle partition PER stateful operator,
+    // so a multi-wave replay at the batch default (32) pays hundreds of
+    // store commits for kilobytes of state. 8 partitions is the right size
+    // for the event-log replays; a real deployment sizes this to its key
+    // cardinality at first start (the checkpoint pins it thereafter —
+    // fresh checkpoint per run here, so the scope-down is safe).
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode(mode).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.table(name)
   }
 
@@ -197,6 +208,8 @@ object Extended18 {
     // ---- streaming twin of e1: watermarked tumbling-window aggregate ----
     // The full event log replays through readStream → window agg; the
     // memory sink's final table must equal the batch hourly aggregate.
+    // One staged file → one data wave: cross-batch state is st3–st9's
+    // job; this query certifies the windowed-agg semantics themselves.
     "st1_stream_hourly" -> ((s, d) => {
       val agg = EventStream.hourlyAgg(EventStream.readEvents(s, stagedEventsDir(d)))
       runToCompletion(s, agg, "st1_mem", OutputMode.Complete())
@@ -206,7 +219,8 @@ object Extended18 {
     // ---- streaming twin of the funnel interval join (append mode) ----
     // Stream-stream inner join with watermark-bounded state: every
     // click × purchase pair within the hour band, emitted exactly once
-    // across the replay.
+    // across the replay. One staged file → one data wave (join-state
+    // handoff across batches is st8's job).
     "st2_stream_funnel" -> ((s, d) => {
       val j = EventStream.funnelJoin(EventStream.readEvents(s, stagedEventsDir(d)))
       runToCompletion(s, j, "st2_mem", OutputMode.Append())

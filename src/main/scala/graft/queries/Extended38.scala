@@ -50,11 +50,15 @@ object Extended38 {
     }),
 
     // ---- st10: stream-static enrichment join, replayed ----
+    // No per-file wave cap: the enrich join is STATELESS (broadcast dim,
+    // no cross-batch state to certify), so the replay's wave count is not
+    // load-bearing — one AvailableNow batch keeps the sweep honest and
+    // cheap. The stateful replays (st3–st9) keep their pinned waves.
     "st10_stream_enrich" -> ((s, d) => {
       val dir = Extended26.stagedTimeWaves(s, d)
       val schema = s.read.parquet(dir).schema
       val stream = EventStream.normalize(s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(dir))
+        .parquet(dir))
       val dim = t(s, d, "customer").select("c_custkey", "c_mktsegment")
       val joined = stream.join(broadcast(dim),
           stream("user_id") === dim("c_custkey"))
