@@ -57,11 +57,9 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // also persist verbatim: sbt wraps stdout in [info]/[success] noise, so
-    // leave a clean machine-readable copy next to the sources.
-    // NOTE for anyone diffing committed BENCH_SELF totals across revisions:
-    // the "sf" field records the dataset the run used — the committed
-    // baseline moved from sf0.1 to sf0.01 during round 5, so `value` is only
-    // comparable between runs whose "sf" matches.
+    // leave a clean machine-readable copy next to the sources. The "sf"
+    // field records the dataset the run used; totals are only comparable
+    // between runs whose "sf" matches.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_SELF.json"), line + "\n")
     catch { case scala.util.control.NonFatal(_) => () }

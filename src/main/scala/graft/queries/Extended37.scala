@@ -47,17 +47,15 @@ object Extended37 {
       val g = org.apache.spark.graphx.Graph.fromEdgeTuples(
         edges.as[(Long, Long)].rdd.coalesce(4), 0)
       val cc = g.connectedComponents()
-      val labels = cc.vertices.toDF("id", "cluster_id")
-      val out = dense.join(labels, "id")
-        .groupBy("cluster_id")
-        .agg(count(lit(1)).as("n_cells"), sum("n").as("n_points"))
-        .orderBy("cluster_id")
-      // release GraphX's internal caches before returning (j9 discipline)
-      val materialized = out.collect()
+      // localCheckpoint cuts the lineage into GraphX's cached RDDs, so
+      // its internal caches release immediately (j9 discipline) without
+      // a driver round-trip of the result rows
+      val labels = cc.vertices.toDF("id", "cluster_id").localCheckpoint()
       cc.unpersist(blocking = false)
       g.unpersist(blocking = false)
-      s.createDataFrame(
-        s.sparkContext.parallelize(materialized.toIndexedSeq, 1), out.schema)
+      dense.join(labels, "id")
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_cells"), sum("n").as("n_points"))
         .orderBy("cluster_id")
     })
   )

@@ -28,7 +28,7 @@ import graft.route.Mst
   *    selection predicate `2·cw ≥ tw` is exact integer arithmetic with
   *    no float-order hazard. State ∝ distinct values per group, not rows
   *    — the 100 TB shape Spark's buffering `percentile` cannot take.
-  *  - e22: sweep-line MAX CONCURRENCY per event type — each event is an
+  *  - e25: sweep-line MAX CONCURRENCY per event type — each event is an
   *    interval [s, s + ⌊value·10⌋ s); classic +1/−1 boundary-point sweep,
   *    net delta aggregated per (type, second) then one window cumsum.
   *    End-exclusive convention: at equal timestamps ends retire before
@@ -68,8 +68,10 @@ object Extended41 {
         .orderBy("flag")
     }),
 
-    // ---- e22: sweep-line max interval concurrency per event type ----
-    "e22_max_concurrency" -> ((s, d) => {
+    // ---- e25: sweep-line max interval concurrency per event type ----
+    // (renamed from a duplicate e22_* in round 7: e22 is the transition
+    // matrix; this fills the formerly vacant e25 slot)
+    "e25_max_concurrency" -> ((s, d) => {
       val iv = t(s, d, "events").select(col("event_type"),
         unix_timestamp(col("ts")).as("s"),
         (unix_timestamp(col("ts")) + floor(col("value") * 10).cast("long")).as("e"))
@@ -120,7 +122,7 @@ object Extended41 {
            FROM g)
          SELECT flag, min(p) AS wmedian
          FROM c WHERE 2 * cw >= tw GROUP BY flag ORDER BY flag""",
-    "e22_max_concurrency" ->
+    "e25_max_concurrency" ->
       """WITH iv AS (
            SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS s,
              CAST(floor(epoch(ts)) AS BIGINT) + CAST(floor(value * 10) AS BIGINT) AS e

@@ -30,9 +30,11 @@ import org.apache.spark.sql.functions._
   *    non-forest edge with both endpoints inside the subtree cancels
   *    itself, one with both outside never appears, and exactly the
   *    covering edges (one endpoint in, one out) survive. This is the
-  *    standard Monte-Carlo formulation (false-bridge probability ≈
-  *    2⁻⁶⁴ per edge, deterministic for a fixed input); BridgesSpec pins
-  *    it equal to local Tarjan on fixtures and random graphs.
+  *    standard Monte-Carlo formulation: a zero hash is remapped to a
+  *    non-zero constant (no single edge can be invisible), leaving only
+  *    multi-edge XOR cancellation (≈ 2⁻⁶⁴ per edge, deterministic for a
+  *    fixed input). Extended43Spec and GraphOpsPropertySpec pin it equal
+  *    to local Tarjan on fixtures and random graphs.
   *
   * Distributed cost shape: forest = Borůvka (O(log V) shuffle rounds);
   * rooting = one BFS over forest edges (O(tree depth) rounds, each a
@@ -209,8 +211,14 @@ object Bridges {
     require(!growing,
       s"bridges: tree depth exceeds maxDepth=$maxDepth — contract the graph first")
 
-    // 3. vertex values: XOR of non-tree incident tags; subtree sweep up
-    val tagged = nonTree.withColumn("tag", xxhash64(col("u"), col("v")))
+    // 3. vertex values: XOR of non-tree incident tags; subtree sweep up.
+    // A zero tag would make its edge invisible to the cover test (the one
+    // single-edge failure mode of the XOR trick), so the zero hash maps
+    // to a fixed non-zero constant; only multi-edge XOR cancellation
+    // remains, at the documented ≈2⁻⁶⁴.
+    val rawTag = xxhash64(col("u"), col("v"))
+    val tagged = nonTree.withColumn("tag",
+      when(rawTag === 0L, lit(0x9E3779B97F4A7C15L)).otherwise(rawTag))
     val vertexVal = tagged.select(col("u").as("node"), col("tag"))
       .union(tagged.select(col("v"), col("tag")))
       .groupBy("node").agg(expr("bit_xor(tag)").as("own"))

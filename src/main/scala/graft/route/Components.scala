@@ -263,7 +263,11 @@ object Components {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
-    var n = cur.count()
+    // convergence is judged per round against the PREVIOUS round's count
+    // (seeded unknown): no pre-loop count action. An already-stable input
+    // pays one wedge round on an unchanged relation to observe stability —
+    // every other input saves an action on the checkpointed relation.
+    var n = -1L
     var it = 0
     while (it < maxRounds) {
       val sym = cur.select(col("u").as("a"), col("v").as("b"))

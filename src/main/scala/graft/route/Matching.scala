@@ -31,8 +31,8 @@ import org.apache.spark.sql.functions._
   * (map-side combinable struct min — two rows per edge), one self-join
   * back on the nominated edge, two anti-joins to retire endpoints. All
   * keyed on node ids; state is one row per live edge, shrinking
-  * geometrically. MatchingSpec pins local == distributed on fixtures and
-  * the supernode graphs.
+  * geometrically. Extended44Spec and GraphOpsPropertySpec pin local ==
+  * distributed on fixtures and the supernode graphs.
   */
 object Matching {
 
@@ -71,14 +71,23 @@ object Matching {
     out.toArray
   }
 
-  /** Parallel local-minimum rounds (see object doc). */
+  /** Parallel local-minimum rounds (see object doc). The round budget
+    * scales with the live edge count: expected rounds are O(log E)
+    * (Israeli–Itai), but adversarial inputs (e.g. a path with
+    * monotonically increasing weights) match only one edge per round —
+    * the log-scaled headroom keeps realistic inputs converging while the
+    * abort on truly sequential inputs stays loud, not a hang.
+    */
   private def matchingDistributed(spark: SparkSession, canon: DataFrame,
       maxRounds: Int): DataFrame = {
     import spark.implicits._
     var active = canon.localCheckpoint()
+    val e0 = active.count()
+    val roundBudget = math.max(maxRounds,
+      16 * (64 - java.lang.Long.numberOfLeadingZeros(e0 + 1)))
     var out: DataFrame = Seq.empty[(Long, Long, Double)].toDF("u", "v", "w")
     var round = 0
-    while (round < maxRounds && !active.isEmpty) {
+    while (round < roundBudget && !active.isEmpty) {
       val s = struct(col("w"), col("u"), col("v"))
       val nom = active.select(col("u").as("node"), s.as("e"))
         .union(active.select(col("v").as("node"), s.as("e")))
@@ -100,7 +109,8 @@ object Matching {
       round += 1
     }
     require(active.isEmpty,
-      s"greedyMatching: did not converge in $maxRounds rounds")
+      s"greedyMatching: did not converge in $roundBudget rounds " +
+        s"($e0 initial edges) — near-sequential weight order; raise maxRounds")
     out
   }
 }
