@@ -26,14 +26,15 @@ object ExplainDump {
     "q2b_best_supplier", "tp11_token_budget_mix", "e22_transition_matrix",
     "dedup_containment", "v5_power_iteration", "t20_char_entropy",
     "tp13_dup_ngram_spans", "tp14_classifier_inference", "ann_sq8_topk",
-    "a20_weighted_median", "e22_max_concurrency", "q23_product_profit",
+    "a20_weighted_median", "e25_max_concurrency", "q23_product_profit",
     "q24_market_share", "a21_mode", "tp16_importance_score",
     "tp17_hard_negatives", "a22_mad", "e24_rfm_segments",
     "tp18_domain_upsample", "a23_gini", "a24_hhi", "j24_skyline",
     "u7_snapshot_diff", "tp19_dataset_card", "v7_knn_label_agreement",
     "t21_readability", "j22_assortativity", "w11_longest_streak",
     "e26_active_users", "e27_robust_outliers", "e28_max_drawdown",
-    "e29_cusum_excursion", "j25_link_prediction")
+    "e29_cusum_excursion", "j25_link_prediction",
+    "ann_ivf_stored_topk", "ann_pq_stored_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

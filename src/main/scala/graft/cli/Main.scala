@@ -245,7 +245,13 @@ object Main {
             Similarity.buildPqIndex(e, "vec_id", "embedding", dim, m, ksub), out)
         case "sq8" =>
           AnnStore.saveSq8(spark, Similarity.buildSq8Index(e, "embedding"), out)
-        case other => sys.error(s"unknown index kind '$other' (ivf|pq|sq8)")
+        // the full stored table: data partitioned by _cid with _codes,
+        // artifacts under _index/ — train once, query forever
+        case "table" =>
+          val nc = rest.headOption.map(_.toInt).getOrElse(16)
+          AnnStore.writeIndexedTable(spark, e, "vec_id", "embedding", out,
+            nCentroids = nc)
+        case other => sys.error(s"unknown index kind '$other' (ivf|pq|sq8|table)")
       }
       println(s"built ${AnnStore.kindOf(out)} index at $out over ${e.count()} vectors")
 
@@ -266,6 +272,10 @@ object Main {
           rest, "vec_id", "embedding", qv, k.toInt)
         case "sq8" => Similarity.sq8TopKWith(AnnStore.loadSq8(spark, idx),
           rest, "vec_id", "embedding", qv, k.toInt)
+        // stored table: the query vector may come from the table itself;
+        // the probe is partition pruning, no assignment pass
+        case "indexed_table" => AnnStore.ivfTopKStored(spark, idx,
+          "vec_id", "embedding", qv, k.toInt)
       }
       res.show(k.toInt, truncate = false)
 
@@ -297,7 +307,7 @@ object Main {
           |  matching <pkg> [weightCol]
           |  walkshed <pkg> <node> <cost> [weightCol]
           |  dedup-smoke <nDocs> [threshold]
-          |  build-index <embeddings.parquet> <out> <ivf [nCentroids]|pq [m ksub]|sq8>
+          |  build-index <embeddings.parquet> <out> <ivf [nCentroids]|pq [m ksub]|sq8|table [nCentroids]>
           |  ann-topk <embeddings.parquet> <index> <queryVecId> <k>
           |  pagerank <pkg> <iters>
           |  export-gpkg <pkg> <out.gpkg>

@@ -201,17 +201,26 @@ object Similarity {
     ivfTopKWith(buildIvfIndex(embeddings, idCol, vecCol, nCentroids, trainIters),
       embeddings, idCol, vecCol, queryVec, k, nProbe)
 
-  /** Query path against a pre-built [[IvfIndex]] — no training jobs. */
-  def ivfTopKWith(index: IvfIndex, embeddings: DataFrame, idCol: String,
-      vecCol: String, queryVec: Seq[Double], k: Int, nProbe: Int = 4): DataFrame = {
+  /** The `nProbe` centroid ids most cosine-similar to the query — the
+    * driver-side probe selection shared by the in-memory and stored
+    * query paths.
+    */
+  private[graft] def nearestProbes(index: IvfIndex, queryVec: Seq[Double],
+      nProbe: Int): Seq[Int] = {
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
       d / math.sqrt(na * nb)
     }
-    val probes = index.centroids.zipWithIndex
+    index.centroids.zipWithIndex
       .sortBy { case (c, _) => -cos(queryVec.toArray, c) }
       .take(nProbe).map(_._2).toSeq
+  }
+
+  /** Query path against a pre-built [[IvfIndex]] — no training jobs. */
+  def ivfTopKWith(index: IvfIndex, embeddings: DataFrame, idCol: String,
+      vecCol: String, queryVec: Seq[Double], k: Int, nProbe: Int = 4): DataFrame = {
+    val probes = nearestProbes(index, queryVec, nProbe)
 
     val q = array(queryVec.map(lit): _*)
     // centroid assignment is a native codegen'd expression (AnnKernel):
@@ -266,25 +275,30 @@ object Similarity {
       buildPqIndex(embeddings, idCol, vecCol, queryVec.length, m, ksub, trainIters),
       embeddings, idCol, vecCol, queryVec, k, refine)
 
-  /** Query path against a pre-built [[PqIndex]] — no training jobs. */
-  def pqTopKWith(index: PqIndex, embeddings: DataFrame, idCol: String,
-      vecCol: String, queryVec: Seq[Double], k: Int, refine: Int = 50): DataFrame = {
-    val m = index.m
-    val ksub = index.ksub
-    val subDim = index.subDim
-    require(queryVec.length == m * subDim,
-      s"query dim ${queryVec.length} != index dim ${m * subDim}")
-    val codebook = index.codebook
-
+  /** The query's asymmetric-distance lookup table (per-subspace L2 to
+    * every codeword) — driver-side, shared by the in-memory and stored
+    * query paths.
+    */
+  private[graft] def adistTable(index: PqIndex,
+      queryVec: Seq[Double]): Array[Array[Double]] = {
+    require(queryVec.length == index.m * index.subDim,
+      s"query dim ${queryVec.length} != index dim ${index.m * index.subDim}")
     def l2(a: Array[Double], aOff: Int, b: Array[Double]): Double = {
       var d = 0.0; var i = 0
       while (i < b.length) { val t = a(aOff + i) - b(i); d += t * t; i += 1 }
       d
     }
-    // asymmetric-distance table: query subvector vs every centroid
     val qArr = queryVec.toArray
-    val table: Array[Array[Double]] =
-      Array.tabulate(m, ksub)((j, c) => l2(qArr, j * subDim, codebook(j)(c)))
+    Array.tabulate(index.m, index.ksub)((j, c) =>
+      l2(qArr, j * index.subDim, index.codebook(j)(c)))
+  }
+
+  /** Query path against a pre-built [[PqIndex]] — no training jobs. */
+  def pqTopKWith(index: PqIndex, embeddings: DataFrame, idCol: String,
+      vecCol: String, queryVec: Seq[Double], k: Int, refine: Int = 50): DataFrame = {
+    val codebook = index.codebook
+    // asymmetric-distance table: query subvector vs every centroid
+    val table: Array[Array[Double]] = adistTable(index, queryVec)
     val q = array(queryVec.map(lit): _*)
     // encode + ADC are native codegen'd expressions (AnnKernel): strict-<
     // argmin (ties keep lowest id) and ascending-j fold, identical to the

@@ -67,7 +67,8 @@ object Registry {
     (Extended53.queries, Extended53.oracleSql),
     (Extended54.queries, Extended54.oracleSql),
     (Extended55.queries, Extended55.oracleSql),
-    (Extended56.queries, Extended56.oracleSql)
+    (Extended56.queries, Extended56.oracleSql),
+    (Extended57.queries, Extended57.oracleSql)
   )
 
   def queries: Map[String, Q] = providers.map(_._1).reduce(_ ++ _)

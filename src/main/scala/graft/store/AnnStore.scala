@@ -2,7 +2,7 @@ package graft.store
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.llm.Similarity.{IvfIndex, PqIndex, Sq8Index}
@@ -102,6 +102,88 @@ object AnnStore {
       .select("p", "mn", "mx").collect().sortBy(_.getInt(0))
     require(rows.nonEmpty, s"empty SQ8 artifact at $path")
     Sq8Index(rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+  }
+
+  // ---- the stored, indexed embeddings table ----
+  //
+  // The 100 TB layout the Similarity scaladocs promise: centroid
+  // assignment and PQ codes are computed ONCE at write time and stored —
+  // `_cid` as the parquet PARTITION column (an IVF probe becomes
+  // partition pruning: only nProbe/nCentroids of the files are opened)
+  // and `_codes` as an m-byte column (the PQ candidate stage reads it
+  // and the id, never the full embedding — column pruning does the 8–32×
+  // scan-shrink). The trained artifacts ride along under `_index/`, the
+  // same "the index travels with the data" contract as the reference's
+  // .gpkg R-tree (`feature_table.py:265-414`).
+
+  /** Train IVF + PQ over `embeddings` and write the indexed table at
+    * `path` (atomic tmp + swap): `data/` partitioned by `_cid` with the
+    * `_codes` column added, `_index/ivf` + `_index/pq` artifacts beside
+    * it.
+    */
+  def writeIndexedTable(spark: SparkSession, embeddings: DataFrame,
+      idCol: String, vecCol: String, path: String, nCentroids: Int = 16,
+      m: Int = 8, ksub: Int = 16, trainIters: Int = 2): Unit = {
+    import graft.llm.Similarity
+    val dim = embeddings.select(size(col(vecCol))).head.getInt(0)
+    val ivf = Similarity.buildIvfIndex(embeddings, idCol, vecCol,
+      nCentroids, trainIters)
+    val pq = Similarity.buildPqIndex(embeddings, idCol, vecCol, dim,
+      m, ksub, trainIters)
+    val tmp = path + ".tmp"
+    GraphPackage.deleteRecursive(Paths.get(tmp))
+    saveIvf(spark, ivf, s"$tmp/_index/ivf")
+    savePq(spark, pq, s"$tmp/_index/pq")
+    embeddings
+      .withColumn("_cid",
+        graft.functions.VectorFunctions.nearestCentroid(col(vecCol), ivf.centroids))
+      .withColumn("_codes",
+        graft.functions.VectorFunctions.pqEncode(col(vecCol), pq.codebook))
+      .write.mode(SaveMode.Overwrite).partitionBy("_cid")
+      .parquet(s"$tmp/data")
+    Files.writeString(Paths.get(tmp, "index.json"),
+      s"""{"format_version": $FormatVersion, "kind": "indexed_table", """ +
+        s""""n_centroids": $nCentroids, "m": $m, "ksub": $ksub, "dim": $dim}""")
+    GraphPackage.atomicSwap(tmp, path)
+  }
+
+  /** IVF top-k against the stored table: the probe filter hits the
+    * `_cid` PARTITION column, so non-probed buckets are never opened —
+    * no assignment pass, no training, just a pruned scan + exact cosine.
+    */
+  def ivfTopKStored(spark: SparkSession, path: String, idCol: String,
+      vecCol: String, queryVec: Seq[Double], k: Int, nProbe: Int = 4): DataFrame = {
+    import graft.llm.Similarity
+    val idx = loadIvf(spark, s"$path/_index/ivf")
+    val probes = Similarity.nearestProbes(idx, queryVec, nProbe)
+    val q = array(queryVec.map(lit): _*)
+    spark.read.parquet(s"$path/data")
+      .filter(col("_cid").isin(probes: _*))
+      .select(col(idCol), Similarity.cosine(col(vecCol), q).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** PQ top-k against the stored table: the candidate stage scans ONLY
+    * (id, `_codes`) — m bytes per vector instead of the embedding — and
+    * the exact re-rank fetches full vectors for just the `refine`
+    * survivors via an id semi-probe.
+    */
+  def pqTopKStored(spark: SparkSession, path: String, idCol: String,
+      vecCol: String, queryVec: Seq[Double], k: Int, refine: Int = 50): DataFrame = {
+    import graft.llm.Similarity
+    val pq = loadPq(spark, s"$path/_index/pq")
+    val table = Similarity.adistTable(pq, queryVec)
+    val q = array(queryVec.map(lit): _*)
+    val data = spark.read.parquet(s"$path/data")
+    val cand = data.select(col(idCol),
+        graft.functions.VectorFunctions.pqAdist(col("_codes"), table).as("_ad"))
+      .orderBy(col("_ad").asc, col(idCol))
+      .limit(refine)
+    cand.join(data.select(col(idCol), col(vecCol)), idCol)
+      .select(col(idCol), Similarity.cosine(col(vecCol), q).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
   }
 
   /** Kind of the artifact at `path` ("ivf" / "pq" / "sq8"), from the

@@ -87,6 +87,33 @@ class AnnStoreSpec extends AnyFunSuite {
     assert(err.getMessage.contains("sq8"))
   }
 
+  test("stored indexed table answers identically to the in-memory index paths") {
+    val path = scratch("table")
+    AnnStore.writeIndexedTable(spark, rest, "vec_id", "embedding", path,
+      nCentroids = 16, m = 8, ksub = 16, trainIters = 2)
+    // IVF: partition-pruned stored scan == in-memory assignment scan
+    val builtIvf = Similarity.buildIvfIndex(rest, "vec_id", "embedding",
+      nCentroids = 16, trainIters = 2)
+    val viaMem = Similarity.ivfTopKWith(builtIvf, rest, "vec_id", "embedding",
+      qv, 10, nProbe = 6).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaStored = AnnStore.ivfTopKStored(spark, path, "vec_id", "embedding",
+      qv, 10, nProbe = 6).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaStored == viaMem)
+    // PQ: stored-codes candidates == inline-encode candidates
+    val builtPq = Similarity.buildPqIndex(rest, "vec_id", "embedding",
+      dim = qv.length, m = 8, ksub = 16, trainIters = 2)
+    val pqMem = Similarity.pqTopKWith(builtPq, rest, "vec_id", "embedding",
+      qv, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val pqStored = AnnStore.pqTopKStored(spark, path, "vec_id", "embedding",
+      qv, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(pqStored == pqMem)
+    // the layout really is partitioned by _cid
+    val cells = new java.io.File(s"$path/data").listFiles()
+      .filter(_.getName.startsWith("_cid="))
+    assert(cells.length > 1, "expected multiple _cid partition directories")
+    assert(AnnStore.kindOf(path) == "indexed_table")
+  }
+
   test("save over an existing artifact atomically replaces it") {
     val path = scratch("swap")
     val idx4 = Similarity.buildIvfIndex(rest, "vec_id", "embedding",
