@@ -255,6 +255,13 @@ object Main {
       }
       println(s"built ${AnnStore.kindOf(out)} index at $out over ${e.count()} vectors")
 
+    // collapse appended small files in a stored indexed table
+    case "compact-index" :: idx :: Nil =>
+      val before = GraphPackage.countDataFiles(s"$idx/data")
+      graft.store.AnnStore.compactIndexedTable(spark, idx)
+      println(s"compacted $idx: data files $before -> " +
+        s"${GraphPackage.countDataFiles(s"$idx/data")}")
+
     // query a persisted ANN index: top-k neighbours of the vector with
     // the given id — no training jobs, the artifact is loaded and used
     case "ann-topk" :: emb :: idx :: qid :: k :: Nil =>
@@ -309,6 +316,7 @@ object Main {
           |  dedup-smoke <nDocs> [threshold]
           |  build-index <embeddings.parquet> <out> <ivf [nCentroids]|pq [m ksub]|sq8|table [nCentroids]>
           |  ann-topk <embeddings.parquet> <index> <queryVecId> <k>
+          |  compact-index <indexedTable>
           |  pagerank <pkg> <iters>
           |  export-gpkg <pkg> <out.gpkg>
           |  import-gpkg <in.gpkg>

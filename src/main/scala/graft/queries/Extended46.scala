@@ -26,9 +26,11 @@ import graft.Tables.t
   *    WITHOUT a global ntile: a partitionless `ntile(5)` over every
   *    customer is the textbook formulation and the textbook scale
   *    failure (one task sorts all customers). Instead: per dimension,
-  *    aggregate to (value, count), one cumulative pass over DISTINCT
-  *    values only (a19/a20's selection discipline), pick the four
-  *    boundary values where 5·cum ≥ k·total, broadcast the 12 numbers,
+  *    aggregate to (value, count), then ONE two-level bounded selection
+  *    (operators/Selection, all four ranks sharing its two passes —
+  *    round 7: the former pass was a partitionless window over distinct
+  *    values, row-proportional for the monetary dimension) picks the
+  *    four boundary values where 5·cum ≥ k·total, broadcast the 12 numbers,
   *    and bucket every customer by comparison (`1 + Σ [x > bₖ]`) — all
   *    BIGINT comparisons, bit-identical cross-engine, no row ever
   *    sorted globally. Ties land in one bucket (boundary semantics,
@@ -65,28 +67,30 @@ object Extended46 {
           count(lit(1)).as("f"),
           sum(round(col("o_totalprice") * 100).cast("long")).as("mc"))
         .localCheckpoint()
-      // four quintile boundaries of one BIGINT dimension, as a 1-row
-      // 4-element array: cumulative selection over DISTINCT values only
-      def boundaries(valCol: String): DataFrame = {
+      // four quintile boundaries of one BIGINT dimension, as a 4-element
+      // literal array. All four ranks share ONE two-level bounded
+      // selection (operators/Selection): the old form's partitionless
+      // cumulative window ran over ALL distinct values — row-proportional
+      // for the monetary dimension (distinct per-customer sums ≈
+      // customers) — while the bucket summaries collected here stay
+      // domain/width-bounded at any sf. `5·cw ≥ k·tw` ⟺ cw ≥ ⌈k·tw/5⌉
+      // for integral counts, so the boundary values are unchanged.
+      def boundaries(valCol: String, width: Double): Column = {
         val cnt = c.groupBy(valCol).agg(count(lit(1)).as("n"))
-        val cum = cnt.select(col(valCol).as("v"),
-          sum("n").over(Window.orderBy(valCol)).as("cw"),
-          sum("n").over(Window.partitionBy()).as("tw"))
-        cum.crossJoin(broadcast(Seq(1, 2, 3, 4).toDF("k")))
-          .filter(lit(5) * col("cw") >= col("k") * col("tw"))
-          .groupBy("k").agg(min("v").as("b"))
-          .agg(array_sort(collect_list(struct(col("k"), col("b"))))
-            .getField("b").as(s"${valCol}_bs"))
+        val rows = graft.operators.Selection.selectRanksBounded(
+            cnt, Seq.empty, valCol, "n",
+            (1 to 4).map(k => (k.toString, (tw: Long) => (k * tw + 4) / 5)),
+            "k", "b", bucketWidth = width)
+          .collect().map(r => (r.getString(0).toInt, r.getLong(1)))
+          .sortBy(_._1)
+        array(rows.map(kb => lit(kb._2)): _*)
       }
       def bucket(x: Column, bs: Column): Column =
         lit(1) + size(filter(bs, b => x > b))
-      val q = c.crossJoin(broadcast(boundaries("r")))
-        .crossJoin(broadcast(boundaries("f")))
-        .crossJoin(broadcast(boundaries("mc")))
-        .select(col("mc"),
-          (bucket(col("r"), col("r_bs")) * 100 +
-            bucket(col("f"), col("f_bs")) * 10 +
-            bucket(col("mc"), col("mc_bs"))).as("segment"))
+      val q = c.select(col("mc"),
+        (bucket(col("r"), boundaries("r", 4096.0)) * 100 +
+          bucket(col("f"), boundaries("f", 4096.0)) * 10 +
+          bucket(col("mc"), boundaries("mc", 131072.0))).as("segment"))
       q.groupBy("segment")
         .agg(count(lit(1)).as("n_customers"),
           sum("mc").as("sum_monetary_cents"))

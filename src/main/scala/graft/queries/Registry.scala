@@ -68,7 +68,8 @@ object Registry {
     (Extended54.queries, Extended54.oracleSql),
     (Extended55.queries, Extended55.oracleSql),
     (Extended56.queries, Extended56.oracleSql),
-    (Extended57.queries, Extended57.oracleSql)
+    (Extended57.queries, Extended57.oracleSql),
+    (Extended58.queries, Extended58.oracleSql)
   )
 
   def queries: Map[String, Q] = providers.map(_._1).reduce(_ ++ _)

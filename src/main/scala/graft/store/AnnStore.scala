@@ -147,6 +147,62 @@ object AnnStore {
     GraphPackage.atomicSwap(tmp, path)
   }
 
+  /** Append new vectors to a stored indexed table WITHOUT retraining:
+    * the existing artifacts encode them (`_cid` assignment + `_codes`),
+    * and the rows land in the same partition layout — the index is
+    * train-once/absorb-forever, exactly like the reference's R-tree
+    * absorbing inserts. Queries over the appended table equal queries
+    * with the same artifacts over the unioned corpus (AnnStoreSpec).
+    * Note: parquet append is not atomic like [[writeIndexedTable]]'s
+    * swap — run it from one writer at a time (the maintenance job), and
+    * retrain/rewrite when drift accumulates.
+    */
+  def appendToIndexedTable(spark: SparkSession, newRows: DataFrame,
+      idCol: String, vecCol: String, path: String): Unit = {
+    val ivf = loadIvf(spark, s"$path/_index/ivf")
+    val pq = loadPq(spark, s"$path/_index/pq")
+    newRows
+      .withColumn("_cid",
+        graft.functions.VectorFunctions.nearestCentroid(col(vecCol), ivf.centroids))
+      .withColumn("_codes",
+        graft.functions.VectorFunctions.pqEncode(col(vecCol), pq.codebook))
+      .write.mode(SaveMode.Append).partitionBy("_cid")
+      .parquet(s"$path/data")
+  }
+
+  /** Compact a stored indexed table in place: every append cycle
+    * accretes one file per touched `_cid` partition until probe-time
+    * task-launch overhead dominates; this rewrite collapses each bucket
+    * back to a minimal file count, preserving the partition layout and
+    * the artifacts. Same crash-safe tmp + atomic swap as
+    * [[writeIndexedTable]] — the maintenance counterpart of
+    * [[GraphPackage.compact]].
+    */
+  def compactIndexedTable(spark: SparkSession, path: String): Unit = {
+    val tmp = path + ".tmp"
+    GraphPackage.deleteRecursive(Paths.get(tmp))
+    val data = spark.read.parquet(s"$path/data")
+    val nCells = data.select("_cid").distinct().count().toInt.max(1)
+    data.repartition(nCells, col("_cid"))
+      .write.mode(SaveMode.Overwrite).partitionBy("_cid")
+      .parquet(s"$tmp/data")
+    copyDir(Paths.get(path, "_index"), Paths.get(tmp, "_index"))
+    Files.copy(Paths.get(path, "index.json"), Paths.get(tmp, "index.json"))
+    GraphPackage.atomicSwap(tmp, path)
+  }
+
+  private def copyDir(src: java.nio.file.Path, dst: java.nio.file.Path): Unit =
+    GraphPackage.walkTree(src) { it =>
+      it.foreach { p =>
+        val target = dst.resolve(src.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(target)
+        else {
+          Files.createDirectories(target.getParent)
+          Files.copy(p, target)
+        }
+      }
+    }
+
   /** IVF top-k against the stored table: the probe filter hits the
     * `_cid` PARTITION column, so non-probed buckets are never opened —
     * no assignment pass, no training, just a pruned scan + exact cosine.

@@ -114,6 +114,48 @@ class AnnStoreSpec extends AnyFunSuite {
     assert(AnnStore.kindOf(path) == "indexed_table")
   }
 
+  test("append absorbs new vectors under the existing index, no retrain") {
+    val path = scratch("append")
+    val half = rest.filter(col("vec_id") % 2 === 0)
+    val other = rest.filter(col("vec_id") % 2 === 1)
+    AnnStore.writeIndexedTable(spark, half, "vec_id", "embedding", path,
+      nCentroids = 8, m = 8, ksub = 16, trainIters = 1)
+    AnnStore.appendToIndexedTable(spark, other, "vec_id", "embedding", path)
+    // contract: stored query over the appended table == the SAME
+    // artifacts (trained on the first half only) over the whole corpus
+    val idx = AnnStore.loadIvf(spark, s"$path/_index/ivf")
+    val viaMem = Similarity.ivfTopKWith(idx, rest, "vec_id", "embedding",
+      qv, 10, nProbe = 4).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaStored = AnnStore.ivfTopKStored(spark, path, "vec_id", "embedding",
+      qv, 10, nProbe = 4).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaStored == viaMem)
+    val pqIdx = AnnStore.loadPq(spark, s"$path/_index/pq")
+    val pqMem = Similarity.pqTopKWith(pqIdx, rest, "vec_id", "embedding",
+      qv, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val pqStored = AnnStore.pqTopKStored(spark, path, "vec_id", "embedding",
+      qv, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(pqStored == pqMem)
+  }
+
+  test("compact collapses appended files per bucket, results unchanged") {
+    val path = scratch("compact")
+    val half = rest.filter(col("vec_id") % 2 === 0)
+    val other = rest.filter(col("vec_id") % 2 === 1)
+    AnnStore.writeIndexedTable(spark, half, "vec_id", "embedding", path,
+      nCentroids = 8, m = 8, ksub = 16, trainIters = 1)
+    AnnStore.appendToIndexedTable(spark, other, "vec_id", "embedding", path)
+    val before = graft.store.GraphPackage.countDataFiles(s"$path/data")
+    val resBefore = AnnStore.ivfTopKStored(spark, path, "vec_id", "embedding",
+      qv, 10, nProbe = 4).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    AnnStore.compactIndexedTable(spark, path)
+    val after = graft.store.GraphPackage.countDataFiles(s"$path/data")
+    assert(after < before, s"compaction must shrink file count ($before -> $after)")
+    val resAfter = AnnStore.ivfTopKStored(spark, path, "vec_id", "embedding",
+      qv, 10, nProbe = 4).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(resAfter == resBefore)
+    assert(AnnStore.kindOf(path) == "indexed_table", "header must survive compaction")
+  }
+
   test("save over an existing artifact atomically replaces it") {
     val path = scratch("swap")
     val idx4 = Similarity.buildIvfIndex(rest, "vec_id", "embedding",
