@@ -137,6 +137,43 @@ class AnnStoreSpec extends AnyFunSuite {
     assert(pqStored == pqMem)
   }
 
+  test("a vector STREAM ingests into the stored index via foreachBatch append") {
+    // the streaming-ingest shape at 100 TB: vectors arrive as a stream,
+    // each micro-batch is encoded by the EXISTING artifacts and absorbed
+    // into the partition layout (appendToIndexedTable as the custom
+    // sink) — never a retrain, and the stored query path sees every
+    // committed batch. A dedicated landing-dir + foreachBatch is the
+    // correct sink: a direct streaming parquet sink into data/ would
+    // plant a _spark_metadata log that hides the batch-written files.
+    val path = scratch("stream")
+    val half = rest.filter(col("vec_id") % 2 === 0)
+    val other = rest.filter(col("vec_id") % 2 === 1)
+    AnnStore.writeIndexedTable(spark, half, "vec_id", "embedding", path,
+      nCentroids = 8, m = 8, ksub = 16, trainIters = 1)
+
+    val src = java.nio.file.Files.createTempDirectory("graft-annstream")
+    TestSpark.stageSingleParquet(other, src, "arrivals.parquet")
+    val stream = spark.readStream.schema(other.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        AnnStore.appendToIndexedTable(spark, batch, "vec_id", "embedding", path)
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-annstream-ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val idx = AnnStore.loadIvf(spark, s"$path/_index/ivf")
+    val viaMem = Similarity.ivfTopKWith(idx, rest, "vec_id", "embedding",
+      qv, 10, nProbe = 4).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaStored = AnnStore.ivfTopKStored(spark, path, "vec_id", "embedding",
+      qv, 10, nProbe = 4).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaStored == viaMem,
+      "stored query must see the streamed-in vectors, encoded by the existing index")
+  }
+
   test("compact collapses appended files per bucket, results unchanged") {
     val path = scratch("compact")
     val half = rest.filter(col("vec_id") % 2 === 0)
