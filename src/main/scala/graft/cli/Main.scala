@@ -1,5 +1,7 @@
 package graft.cli
 
+import java.nio.file.Files
+
 import org.apache.spark.sql.SparkSession
 
 import graft.Tables
@@ -286,6 +288,65 @@ object Main {
       }
       res.show(k.toInt, truncate = false)
 
+    // stored-ANN scale smoke: a deterministic synthetic corpus (16
+    // planted cluster directions + splitmix-style jitter, reproducible
+    // from the seed) runs the FULL build-index → write-partitioned-table
+    // → probe-pruned-query path at whatever vector count the caller
+    // asks. The oracle gates prove correctness at 500–5000 vectors; this
+    // proves the same plans survive millions. Prints build/query wall
+    // times and recall@10 of the pruned probe vs the exact scan. At real
+    // scale the Lloyd pass runs on a sample; here it scans the corpus.
+    case "ann-smoke" :: n :: rest =>
+      import org.apache.spark.sql.functions._
+      val nVec = n.toLong
+      val dim = rest.headOption.map(_.toInt).getOrElse(64)
+      val out = Files.createTempDirectory("graft-ann-smoke").resolve("table").toString
+      val emb = spark.range(nVec).select(col("id").as("vec_id"),
+        expr(s"""transform(sequence(0, ${dim - 1}), p ->
+             cast(pmod(xxhash64(id, p), 1000) as double) / 1000.0 +
+             case when p = pmod(id, 16) * ${dim / 16} then 4.0 else 0.0 end)""")
+          .as("embedding"))
+      val t0 = System.nanoTime()
+      graft.store.AnnStore.writeIndexedTable(spark, emb, "vec_id", "embedding",
+        out, nCentroids = 16, m = 8, ksub = 16, trainIters = 1)
+      // maintained layout: one file per bucket (what compact keeps true)
+      graft.store.AnnStore.compactIndexedTable(spark, out)
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head.getSeq[Double](0)
+      // steady state: run each twice (index artifacts and file listings
+      // cache after the first query of a session), report the second
+      def timeIt[A](f: => A): (A, Double) = {
+        f
+        val t = System.nanoTime(); val a = f; (a, (System.nanoTime() - t) / 1e9)
+      }
+      // the query-service shape: artifacts load once, queries reuse them
+      val idx = graft.store.AnnStore.loadIvf(spark, s"$out/_index/ivf")
+      val (pruned, tQuery) = timeIt(
+        graft.store.AnnStore.ivfTopKStoredWith(idx, spark, out, "vec_id",
+            "embedding", qv, 10, nProbe = 4)
+          .collect().map(_.getLong(0)).toSet)
+      val (exact, tExact) = timeIt(
+        graft.llm.Similarity.bruteForceTopK(
+            spark.read.parquet(s"$out/data"), "vec_id", "embedding", qv, 10)
+          .collect().map(_.getLong(0)).toSet)
+      val recall = pruned.intersect(exact).size / 10.0
+      // the honest scale metric is scan VOLUME: the probe opens
+      // nProbe/nCentroids of the bytes no matter the corpus size (at this
+      // toy size wall-clock can favor the full scan — it gets more
+      // parallel tasks than 4 bucket files; at 100 TB the byte fraction
+      // is the whole game)
+      def dirBytes(p: java.nio.file.Path): Long =
+        graft.store.GraphPackage.walkTree(p)(
+          _.filter(Files.isRegularFile(_)).map(Files.size).sum)
+      val probes = graft.llm.Similarity.nearestProbes(idx, qv, 4)
+      val dataDir = java.nio.file.Paths.get(out, "data")
+      val total = dirBytes(dataDir)
+      val scanned = probes.map(c => dirBytes(dataDir.resolve(s"_cid=$c"))).sum
+      println(f"ann-smoke: vectors=$nVec dim=$dim build=$tBuild%.1fs " +
+        f"query=$tQuery%.2fs exact=$tExact%.2fs recall@10=$recall%.2f " +
+        f"scanned=${scanned * 100.0 / total}%.0f%% of ${total >> 20}MB")
+
     // fixed-iteration DataFrame PageRank (dangling mass dropped)
     case "pagerank" :: pkg :: iters :: Nil =>
       import org.apache.spark.sql.functions.{col, xxhash64}
@@ -317,6 +378,7 @@ object Main {
           |  build-index <embeddings.parquet> <out> <ivf [nCentroids]|pq [m ksub]|sq8|table [nCentroids]>
           |  ann-topk <embeddings.parquet> <index> <queryVecId> <k>
           |  compact-index <indexedTable>
+          |  ann-smoke <nVectors> [dim]
           |  pagerank <pkg> <iters>
           |  export-gpkg <pkg> <out.gpkg>
           |  import-gpkg <in.gpkg>

@@ -36,7 +36,9 @@ object Selection {
   /** min(valCol) per group such that cum(nCol) >= target(total), where
     * `target` maps the group's total count column to the wanted rank.
     * `counts` must be a histogram: one row per (group, value) with a
-    * positive integral count. Emits one row per group: groupCols :+ outCol.
+    * positive integral count. NULL values carry no rank (they are
+    * filtered before bucketing — both selection paths agree). Emits one
+    * row per group: groupCols :+ outCol.
     */
   def selectRank(counts: DataFrame, groupCols: Seq[String], valCol: String,
       nCol: String, target: Column => Column, outCol: String,
@@ -46,7 +48,7 @@ object Selection {
       math.round(bucketWidth).toDouble == bucketWidth,
       s"bucketWidth must be a positive power of two for exact division, got $bucketWidth")
     val g = groupCols.map(col)
-    val binned = counts.withColumn("_b",
+    val binned = counts.filter(col(valCol).isNotNull).withColumn("_b",
       floor(col(valCol).cast("double") / lit(bucketWidth)).cast("long"))
 
     // level 1: per-bucket partial sums — parallel hash agg over the histogram
@@ -128,7 +130,7 @@ object Selection {
       s"bucketWidth must be a positive power of two, got $bucketWidth")
     val spark = counts.sparkSession
     val g = groupCols.map(col)
-    val binned = counts.withColumn("_b",
+    val binned = counts.filter(col(valCol).isNotNull).withColumn("_b",
       floor(col(valCol).cast("double") / lit(bucketWidth)).cast("long"))
 
     // pass 1 (distributed): per-bucket partial sums; collect the bounded

@@ -7,6 +7,7 @@ import graft.Tables.t
 
 /** Round-7 surface extensions, batch 58: tokenizer-construction and
   * rarity-based quality signals over the documents corpus.
+  * (PII scrubbing already exists as t14_pii_redact in batch 9.)
   *
   *  - t22: BPE MERGE CANDIDATES — the first step of byte-pair-encoding
   *    vocabulary induction: count every adjacent character pair inside

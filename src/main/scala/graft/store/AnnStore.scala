@@ -208,9 +208,18 @@ object AnnStore {
     * no assignment pass, no training, just a pruned scan + exact cosine.
     */
   def ivfTopKStored(spark: SparkSession, path: String, idCol: String,
-      vecCol: String, queryVec: Seq[Double], k: Int, nProbe: Int = 4): DataFrame = {
+      vecCol: String, queryVec: Seq[Double], k: Int, nProbe: Int = 4): DataFrame =
+    ivfTopKStoredWith(loadIvf(spark, s"$path/_index/ivf"), spark, path,
+      idCol, vecCol, queryVec, k, nProbe)
+
+  /** [[ivfTopKStored]] with the artifact already in hand — the
+    * query-service shape: load the (kilobyte) index once per session,
+    * answer many queries with zero artifact I/O.
+    */
+  def ivfTopKStoredWith(idx: graft.llm.Similarity.IvfIndex,
+      spark: SparkSession, path: String, idCol: String, vecCol: String,
+      queryVec: Seq[Double], k: Int, nProbe: Int = 4): DataFrame = {
     import graft.llm.Similarity
-    val idx = loadIvf(spark, s"$path/_index/ivf")
     val probes = Similarity.nearestProbes(idx, queryVec, nProbe)
     val q = array(queryVec.map(lit): _*)
     spark.read.parquet(s"$path/data")

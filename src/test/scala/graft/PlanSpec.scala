@@ -370,11 +370,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("percentile"), s"must not use buffering percentile:\n$p")
   }
 
-  test("e24 RFM buckets by broadcast boundaries, no global ntile") {
+  test("e24 RFM buckets by literal boundaries, no global ntile, no window") {
+    // round 7: the 12 boundary values come from the bounded two-level
+    // selection and land in the plan as LITERAL arrays inside the
+    // bucketing projection — one codegen pass over the customers, no
+    // broadcast join and no cumulative window at all
     val p = plan(graft.queries.Extended46.queries("e24_rfm_segments")(spark, sf))
     assert(!p.contains("ntile"), s"no partitionless ntile over customers:\n$p")
-    assert(p.contains("BroadcastNestedLoop") || p.contains("BroadcastExchange"),
-      s"the 12 boundary values must broadcast:\n$p")
+    assert(!p.contains("Window"), s"no cumulative boundary window:\n$p")
+    assert(p.contains("size(filter("),
+      s"boundary comparison must be the literal-array bucketing projection:\n$p")
   }
 
   test("tp18 upsample is a generator + partial aggs, no shuffle-side blowup") {

@@ -100,6 +100,19 @@ class SelectionSpec extends AnyFunSuite {
     }
   }
 
+  test("null values carry no rank in either path") {
+    val rows: Seq[(String, java.lang.Long, Long)] = Seq(
+      ("A", 1L, 1L), ("A", null, 100L), ("A", 3L, 1L), ("A", 5L, 1L),
+      ("B", null, 5L), ("B", 2L, 1L))
+    val df = rows.toDF("g", "v", "n")
+    val expect = Map("A" -> 3L, "B" -> 2L)
+    val dist = Selection.lowerMedian(df, Seq("g"), "v", "n", "med")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bounded = Selection.lowerMedianBounded(df, Seq("g"), "v", "n", "med")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dist == expect && bounded == expect)
+  }
+
   test("rewired exact-median plans carry no Window node") {
     val sf = "/root/testdata/sf0.001"
     for (name <- Seq("a19_exact_median_hist", "a20_weighted_median",
