@@ -195,6 +195,31 @@ object EventStream {
         col("click_id"), col("c_ts"))
   }
 
+  /** Stream-stream FULL OUTER interval join — completes the join-mode
+    * family (inner [[funnelJoin]], left [[funnelLeftJoin]]): unmatched
+    * purchases emit null-click rows AND unmatched clicks emit
+    * null-purchase rows, each side released only when the watermark
+    * proves its band can no longer match. State on both sides is
+    * watermark-bounded exactly as in the left form.
+    */
+  def funnelFullJoin(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val n = normalize(events)
+    val buys = n.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("b_ts", watermark)
+    val clicks = n.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", watermark)
+    buys.join(clicks,
+        col("b_user") === col("c_user") &&
+        col("c_ts") <= col("b_ts") &&
+        col("c_ts") >= col("b_ts") - expr("interval 30 minutes"), "full_outer")
+      .select(coalesce(col("b_user"), col("c_user")).as("user_id"),
+        col("purchase_id"), col("click_id"), col("c_ts"))
+  }
+
   /** Streaming user-journey transition pairs via flatMapGroupsWithState:
     * state carries the user's last (event-time µs, event_id, type); each
     * batch sorts its rows by (µs, event_id) and emits one (prev_type,

@@ -191,6 +191,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.filter(col("first_click").isNull).count() > 0)
   }
 
+  test("streaming FULL outer interval join == batch full join restatement") {
+    // both unmatched sides must surface: purchases with no click in band
+    // (null click_id) AND clicks matching no purchase (null purchase_id).
+    // Same sentinel staging as the left-outer proof — the registry query
+    // st11 runs the same plan under the DuckDB oracle.
+    val d2 = java.nio.file.Files.createTempDirectory("graft-stream-foj")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      d2.resolve("events.parquet"))
+    val raw = spark.read.parquet(dir)
+    val maxMicros = Tables.normalizeTs(raw)
+      .agg(max(unix_micros(col("ts")))).head.getLong(0)
+    val sentinelUser = 9999999L
+    val farMicros = maxMicros + 30L * 24 * 3600 * 1000000L
+    val farCol = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => lit(farMicros * 1000L)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        timestamp_micros(lit(farMicros))
+          .cast(org.apache.spark.sql.types.TimestampNTZType)
+      case _ => timestamp_micros(lit(farMicros))
+    }
+    def sent(id: Long, typ: String) = raw.limit(1)
+      .withColumn("event_id", lit(id)).withColumn("ts", farCol)
+      .withColumn("user_id", lit(sentinelUser))
+      .withColumn("event_type", lit(typ))
+      .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+    sent(-1L, "click").union(sent(-2L, "purchase"))
+      .select(raw.columns.map(col): _*)
+      .write.mode("append").parquet(d2.toString)
+
+    val q = EventStream.funnelFullJoin(EventStream.readEvents(spark, d2.toString))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("foj_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("foj_out").filter(col("user_id") =!= sentinelUser)
+    // batch restatement of the full join over the same band
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val b = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+        col("event_id").as("purchase_id"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val batch = b.join(c,
+        col("b_user") === col("c_user") &&
+        col("c_ts") <= col("b_ts") &&
+        col("c_ts") >= col("b_ts") - expr("interval 30 minutes"), "full_outer")
+      .select(coalesce(col("b_user"), col("c_user")).as("user_id"),
+        col("purchase_id"), col("click_id"), col("c_ts"))
+    assert(got.count() == batch.count() && got.count() > 0)
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+    // both outer directions must actually occur
+    assert(got.filter(col("click_id").isNull).count() > 0,
+      "purchases with no click in band must emit")
+    assert(got.filter(col("purchase_id").isNull).count() > 0,
+      "clicks matching no purchase must emit")
+  }
+
   test("streaming native session_window == batch e13 query") {
     val stream = EventStream.readEvents(spark, dir)
     val agg = EventStream.normalize(stream)
