@@ -16,11 +16,34 @@ import graft.streaming.EventStream
   * what the replay certifies. Unmatched purchases emit null-click rows,
   * unmatched clicks collapse into the (user, null-purchase) group; the
   * oracle is the batch FULL JOIN restated over the same band.
+  *
+  * Plus a25: exact median of per-customer TOTAL SPEND per market
+  * segment — the UNBOUNDED-domain member of the exact-median family.
+  * Unlike a19/a22 (cent-scaled measures, domain fixed by the price
+  * range), per-customer sums grow without bound as customers accrue
+  * orders, so this query runs the fully DISTRIBUTED two-level selection
+  * ([[graft.operators.Selection.lowerMedian]]: bucket partial sums →
+  * bucket-summary window → one-bucket window, per-reducer rows
+  * ~2·√domain) rather than the bounded-collect fast path — putting the
+  * distributed path under the DuckDB oracle gate, not just its spec.
   */
 object Extended59 {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "a25_median_customer_spend" -> ((s, d) => {
+      val c = graft.Tables.t(s, d, "orders")
+        .join(broadcast(graft.Tables.t(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"), col("o_custkey").as("cust"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("mc"))
+      val cnt = c.groupBy("seg", "mc").agg(count(lit(1)).as("n"))
+      graft.operators.Selection.lowerMedian(cnt, Seq("seg"), "mc", "n",
+          "median_spend_cents", bucketWidth = 1048576.0)
+        .orderBy("seg")
+    }),
+
     "st11_stream_full_join" -> ((s, d) => {
       val dir = Extended30.stagedOuterDir(s, d)
       val schema = s.read.parquet(dir).schema
@@ -37,6 +60,20 @@ object Extended59 {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "a25_median_customer_spend" ->
+      """WITH c AS (
+           SELECT cu.c_mktsegment AS seg, o.o_custkey,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS mc
+           FROM orders o JOIN customer cu ON o.o_custkey = cu.c_custkey
+           GROUP BY 1, 2),
+         cnt AS (SELECT seg, mc, count(*) AS n FROM c GROUP BY 1, 2)
+         SELECT seg, min(mc) AS median_spend_cents FROM (
+           SELECT seg, mc,
+             sum(n) OVER (PARTITION BY seg ORDER BY mc) AS cw,
+             sum(n) OVER (PARTITION BY seg) AS tw
+           FROM cnt)
+         WHERE 2 * cw >= tw GROUP BY seg ORDER BY seg""",
     "st11_stream_full_join" ->
       """WITH b AS (SELECT user_id, event_id AS purchase_id, ts AS b_ts
                     FROM events WHERE event_type = 'purchase'),
