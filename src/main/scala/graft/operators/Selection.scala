@@ -207,4 +207,139 @@ object Selection {
     selectRanksBounded(counts, groupCols, valCol, nCol,
       Seq(("m", tw => (tw + 1) / 2)), "_label", outCol, bucketWidth)
       .drop("_label")
+
+  /** Median AND median-absolute-deviation per group from ONE job with NO
+    * shuffle: the exact value histogram is a MERGEABLE SKETCH when the
+    * value domain is bounded, so build it as one —
+    *
+    *   1. each input partition folds its rows into a per-group
+    *      `LongMap[value → Σn]` (state ≤ min(partition rows, domain)) and
+    *      emits it as value-sorted packed primitive arrays;
+    *   2. `treeAggregate(depth = 2)` merges the packed histograms pairwise
+    *      (linear merge of sorted runs) so no single node — driver
+    *      included — ever fans in more than √partitions sketches at once,
+    *      and every intermediate stays ≤ domain entries;
+    *   3. the driver walks the final histogram twice: cumulative selection
+    *      for the median, then re-key by |v − median| (the deviation
+    *      histogram is a pure function of the value histogram) and select
+    *      again for the MAD.
+    *
+    * Versus chaining two [[lowerMedianBounded]] calls this replaces five
+    * actions + a full shuffle with a single scan-and-tree-reduce. Values
+    * must be integral (LONG after cast); counts positive; selection is the
+    * shared lower-median rule `2·cum ≥ total`. Group columns are carried
+    * as STRINGS (cast on entry, emitted as StringType) — callers re-cast
+    * if they need the original type. The loud `maxCollect` guard bounds
+    * the merged sketch exactly like [[selectRanksBounded]]: distinct
+    * values are domain-, not row-, proportional, so the artifact is the
+    * same size at 100 TB as at sf0.001 — and for domains that are NOT
+    * bounded, fail loudly and use [[selectRank]].
+    * Emits one row per group: groupCols ++ (medOut, madOut).
+    */
+  def medianMadBounded(counts: DataFrame, groupCols: Seq[String],
+      valCol: String, nCol: String, medOut: String, madOut: String,
+      maxCollect: Int = 1 << 21): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val nG = groupCols.length
+    require(nG > 0, "medianMadBounded needs at least one group column")
+    val SEP = ""
+    val keyed = counts.filter(col(valCol).isNotNull)
+      .select(concat_ws(SEP, groupCols.map(c => col(c).cast("string")): _*)
+        .as("k"), col(valCol).cast("long").as("v"), col(nCol).cast("long").as("n"))
+      .as[(String, Long, Long)]
+
+    // packed histogram: values ascending at even slots, counts at odd
+    type Hist = Map[String, Array[Long]]
+    def mergeRuns(a: Array[Long], b: Array[Long]): Array[Long] = {
+      val out = new scala.collection.mutable.ArrayBuilder.ofLong
+      out.sizeHint(a.length + b.length)
+      var i = 0; var j = 0
+      while (i < a.length && j < b.length) {
+        if (a(i) < b(j)) { out += a(i) += a(i + 1); i += 2 }
+        else if (a(i) > b(j)) { out += b(j) += b(j + 1); j += 2 }
+        else { out += a(i) += (a(i + 1) + b(j + 1)); i += 2; j += 2 }
+      }
+      while (i < a.length) { out += a(i) += a(i + 1); i += 2 }
+      while (j < b.length) { out += b(j) += b(j + 1); j += 2 }
+      out.result()
+    }
+    def mergeHists(x: Hist, y: Hist): Hist = {
+      val m = (x.keySet ++ y.keySet).iterator.map { k =>
+        (x.get(k), y.get(k)) match {
+          case (Some(a), Some(b)) => k -> mergeRuns(a, b)
+          case (Some(a), None) => k -> a
+          case (None, Some(b)) => k -> b
+          case _ => k -> Array.emptyLongArray
+        }
+      }.toMap
+      require(m.valuesIterator.map(_.length / 2).sum <= maxCollect,
+        s"merged histogram exceeds $maxCollect distinct (group, value) " +
+          "entries: the value domain is not bounded enough for sketch-style " +
+          "selection; use selectRank")
+      m
+    }
+    val hist: Hist = keyed.rdd.mapPartitions { it =>
+      val m = new scala.collection.mutable.HashMap[String,
+        scala.collection.mutable.LongMap[Long]]
+      it.foreach { case (k, v, n) =>
+        val lm = m.getOrElseUpdate(k,
+          new scala.collection.mutable.LongMap[Long]())
+        lm(v) = lm.getOrElse(v, 0L) + n
+      }
+      val packed: Hist = m.iterator.map { case (k, lm) =>
+        val sz = lm.size
+        val vs = new Array[Long](sz)
+        var i = 0
+        lm.foreachKey { v => vs(i) = v; i += 1 }
+        java.util.Arrays.sort(vs)
+        val arr = new Array[Long](2 * sz)
+        i = 0
+        while (i < sz) { arr(2 * i) = vs(i); arr(2 * i + 1) = lm(vs(i)); i += 1 }
+        k -> arr
+      }.toMap
+      Iterator.single(packed)
+    }.treeAggregate(Map.empty: Hist)(mergeHists, mergeHists, depth = 2)
+
+    // cumulative selection over a packed (value, count) run: min value
+    // whose cumulative count reaches ceil(total/2)
+    def lowerMedianPacked(a: Array[Long]): Long = {
+      var tw = 0L; var i = 1
+      while (i < a.length) { tw += a(i); i += 2 }
+      val rank = (tw + 1) / 2
+      var cum = 0L; i = 0
+      while (i + 2 < a.length && cum + a(i + 1) < rank) { cum += a(i + 1); i += 2 }
+      a(i)
+    }
+    val out: Seq[Row] = hist.toSeq.sortBy(_._1).map { case (k, arr) =>
+      val med = lowerMedianPacked(arr)
+      val dv = new scala.collection.mutable.LongMap[Long]()
+      var i = 0
+      while (i < arr.length) {
+        val d = math.abs(arr(i) - med)
+        dv(d) = dv.getOrElse(d, 0L) + arr(i + 1)
+        i += 2
+      }
+      val sz = dv.size
+      val ds = new Array[Long](sz)
+      i = 0
+      dv.foreachKey { d => ds(i) = d; i += 1 }
+      java.util.Arrays.sort(ds)
+      val darr = new Array[Long](2 * sz)
+      i = 0
+      while (i < sz) { darr(2 * i) = ds(i); darr(2 * i + 1) = dv(ds(i)); i += 1 }
+      val mad = lowerMedianPacked(darr)
+      val groups: Seq[Any] =
+        if (nG == 1) Seq(k) else k.split(SEP, -1).toSeq.padTo(nG, "")
+      Row.fromSeq(groups ++ Seq(med, mad))
+    }
+    val schema = StructType(
+      groupCols.map(n => StructField(n, StringType, nullable = true)) ++ Seq(
+        StructField(medOut, LongType, nullable = false),
+        StructField(madOut, LongType, nullable = false)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(out.asJava, schema)
+  }
 }

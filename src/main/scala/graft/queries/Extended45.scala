@@ -21,12 +21,13 @@ import graft.llm.Similarity
   *  - a22: exact MEDIAN ABSOLUTE DEVIATION per group — the robust-stats
   *    companion to a19/a20: median by cumulative selection over cent-
   *    scaled (group, value) counts, then the SAME selection over
-  *    (group, |value − median|) counts, where the deviation histogram
-  *    is derived from the VALUE histogram (re-key by |v − med|,
-  *    re-aggregate) — the fact table is scanned exactly once and both
-  *    passes keep state ∝ distinct values per group, never buffering
-  *    rows; only BIGINT comparisons (2·cw ≥ tw) — no float-order hazard
-  *    anywhere.
+  *    (group, |value − median|) counts. The deviation histogram is a
+  *    pure function of the VALUE histogram, so the whole query is ONE
+  *    distributed hash aggregate; both selections walk the collected
+  *    domain-bounded histogram on the driver
+  *    ([[graft.operators.Selection.medianMadBounded]]), state ∝ distinct
+  *    values per group, never buffering rows; only BIGINT comparisons
+  *    (2·cw ≥ tw) — no float-order hazard anywhere.
   *  - tp17: HARD-NEGATIVE MINING (contrastive training's data step —
   *    RocketQA/ANCE style): for each probe vector, the top-5 most
   *    cosine-similar corpus vectors with a DIFFERENT class label —
@@ -50,31 +51,16 @@ object Extended45 {
     "a22_mad" -> ((s, d) => {
       val x = t(s, d, "lineitem").select(col("l_returnflag").as("flag"),
         round(col("l_extendedprice") * 100).cast("long").as("pc"))
-      // the fact table is scanned ONCE: both selection passes run over the
-      // (flag, value, n) counts — the deviation histogram is the value
-      // histogram re-keyed by |pc − med| (two distinct values can fold
-      // into one deviation, hence the re-aggregation), so pass 2 costs
-      // O(distinct values), not O(rows)
-      // 8 partitions is plenty for the ~500k-row histogram; the four
-      // bounded selection jobs each launch 8 tasks instead of 32
-      val cnt = x.groupBy("flag", "pc").agg(count(lit(1)).as("n"))
-        .coalesce(8).localCheckpoint()
-      // two-level bucketed selection (operators/Selection): parallel
-      // bucket partial sums, then the cumulative walk over the BOUNDED
-      // summaries (≤ domain/4096 + 4096 rows — the cent-price domain is
-      // sf-invariant) on the driver; never the whole per-group histogram
-      // through one reducer
-      def lowerMedian(counts: DataFrame, valCol: String, outCol: String) =
-        graft.operators.Selection.lowerMedianBounded(counts, Seq("flag"),
-          valCol, "n", outCol)
-      val med = lowerMedian(cnt, "pc", "medc")
-      // no re-aggregation by dv: the bounded selection's bucket pass is a
-      // map-side partial agg anyway, and its in-bucket walk sums duplicate
-      // keys correctly — one shuffle saved
-      val devCnt = cnt.join(broadcast(med), "flag")
-        .select(col("flag"), abs(col("pc") - col("medc")).as("dv"), col("n"))
-      val mad = lowerMedian(devCnt, "dv", "madc")
-      med.join(mad, "flag")
+      // ONE job, NO shuffle: the exact value histogram is built as a
+      // mergeable sketch (per-partition LongMap → packed sorted runs →
+      // treeAggregate), and the deviation histogram is a pure function of
+      // it (re-key by |pc − med|, re-sum), so BOTH cumulative selections
+      // run on the driver over the domain-bounded merged artifact
+      // (operators/Selection.medianMadBounded, loud maxCollect guard) —
+      // no pre-aggregation needed, raw rows fold straight into the sketch
+      graft.operators.Selection
+        .medianMadBounded(x.withColumn("n", lit(1L)),
+          Seq("flag"), "pc", "n", "medc", "madc")
         .select(col("flag"),
           round(col("medc").cast("double") / 100.0, 2).as("median_price"),
           round(col("madc").cast("double") / 100.0, 2).as("mad_price"))

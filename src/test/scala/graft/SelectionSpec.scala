@@ -113,6 +113,51 @@ class SelectionSpec extends AnyFunSuite {
     assert(dist == expect && bounded == expect)
   }
 
+  test("sketch med+mad matches naive double selection on random histograms") {
+    for (seed <- 1 to 8; spread <- Seq(100L, 100000L, 50000000L)) {
+      val rows = randomHist(seed, spread)
+      val df = rows.toDF("g", "v", "n")
+      val expMed = naive(rows, tw => (tw + 1) / 2)
+      // naive MAD: re-key the histogram by |v - med|, select again
+      val expMad = rows.groupBy(_._1).map { case (g, rs) =>
+        val med = expMed(g)
+        val dv = rs.map { case (_, v, n) => (g, math.abs(v - med), n) }
+        g -> naive(dv, tw => (tw + 1) / 2)(g)
+      }
+      val got = Selection.medianMadBounded(df, Seq("g"), "v", "n", "med", "mad")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got.keySet == expMed.keySet, s"groups diverged (seed=$seed)")
+      got.foreach { case (g, (med, mad)) =>
+        assert(med == expMed(g), s"median diverged g=$g seed=$seed spread=$spread")
+        assert(mad == expMad(g), s"mad diverged g=$g seed=$seed spread=$spread")
+      }
+    }
+  }
+
+  test("sketch med+mad folds duplicate raw rows and multi-column groups") {
+    val rows = Seq(("A", "x", 5L), ("A", "x", 5L), ("A", "x", 1L),
+      ("A", "y", 9L), ("A", "y", 9L), ("B", "x", 2L))
+    val df = rows.toDF("g1", "g2", "v").withColumn("n", lit(1L))
+    val got = Selection.medianMadBounded(df, Seq("g1", "g2"), "v", "n",
+        "med", "mad")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // (A,x): values 5,5,1 -> med 5, deviations 0,0,4 -> mad 0
+    // (A,y): 9,9 -> med 9, mad 0;  (B,x): 2 -> med 2, mad 0
+    assert(got == Map(("A", "x") -> ((5L, 0L)), ("A", "y") -> ((9L, 0L)),
+      ("B", "x") -> ((2L, 0L))))
+  }
+
+  test("sketch med+mad guards unbounded domains loudly") {
+    val df = spark.range(0, 5000).selectExpr("'g' AS g", "id AS v", "1L AS n")
+    val e = intercept[org.apache.spark.SparkException] {
+      Selection.medianMadBounded(df, Seq("g"), "v", "n", "med", "mad",
+        maxCollect = 1000)
+    }
+    assert(e.getMessage.contains("selectRank") ||
+      Option(e.getCause).exists(_.getMessage.contains("selectRank")))
+  }
+
   test("rewired exact-median plans carry no Window node") {
     val sf = "/root/testdata/sf0.001"
     for (name <- Seq("a19_exact_median_hist", "a20_weighted_median",
