@@ -33,7 +33,13 @@ object Bench {
     // malformed env values fall back to the default instead of killing the run
     val reps = scala.util.Try(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt).getOrElse(3).max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev-loop filter (the driver never sets it): only time queries whose
+    // name matches one of the comma-separated prefixes — same contract as
+    // Verify's SPARK_GRAFT_ONLY
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSeq)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .map { case (name, fn) =>
       // NOTE: each query runs `reps` times in the same session — bench
       // queries must be idempotent across repetitions (sinks overwrite,
       // graph updates drop+recreate). A non-idempotent query would silently
@@ -60,9 +66,11 @@ object Bench {
     // leave a clean machine-readable copy next to the sources. The "sf"
     // field records the dataset the run used; totals are only comparable
     // between runs whose "sf" matches.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_SELF.json"), line + "\n")
-    catch { case scala.util.control.NonFatal(_) => () }
+    // a filtered dev run must not clobber the full-sweep record
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_SELF.json"), line + "\n")
+      catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
   }
 }

@@ -53,12 +53,18 @@ object Extended34 {
       // by the terminal limit(20) being eager via the ordered take; at
       // corpus scale this is a persisted shingle table). localCheckpoint
       // (not cache) so no executor-memory entry outlives the invocation.
+      // shingles leave the scan stage as xxhash64 LONGS: the distinct, the
+      // df cap, and the pair join all carry 8 bytes instead of a ~25-byte
+      // three-word string — containment is computed from counts only, so a
+      // hash stands in for the shingle with P(any collision) ~ pairs·2⁻⁶⁴
+      // (the Bridges tag discipline; the DuckDB oracle keeps the strings)
       val sh = t(s, d, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
         .filter(size(col("ws")) >= 3)
         .select(col("doc_id"), explode(expr(
           """transform(sequence(1, size(ws) - 2),
-             i -> concat_ws(' ', ws[i - 1], ws[i], ws[i + 1]))""")).as("sh"))
+             i -> concat_ws(' ', ws[i - 1], ws[i], ws[i + 1]))""")).as("shs"))
+        .select(col("doc_id"), xxhash64(col("shs")).as("sh"))
         .distinct()
         .localCheckpoint()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("na"))

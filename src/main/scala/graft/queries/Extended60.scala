@@ -1,0 +1,207 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.BinaryType
+
+import graft.Tables.t
+import graft.streaming.EventStream
+
+/** Round-7 surface extensions, batch 60: the three "ingest at 100 TB"
+  * disciplines a training-data pipeline leans on hardest —
+  *
+  *  - tp21_bloom_decontaminate: benchmark decontamination with a
+  *    BLOOM-PRUNED probe. The benchmark side's distinct 5-grams are
+  *    folded into one Bloom filter by Spark's own runtime-filter
+  *    machinery ([[BloomFilterAggregate]] — a distributed, mergeable
+  *    one-pass build), the resulting ~256 KB artifact is embedded as a
+  *    literal, and the corpus gram stream is pre-filtered by the
+  *    codegen'd [[BloomFilterMightContain]] BEFORE the exact semi join.
+  *    Correctness is bloom-INVISIBLE (no false negatives; the exact join
+  *    removes false positives), which is why the DuckDB oracle is the
+  *    plain exact-join restatement. At corpus scale this is the whole
+  *    game: the benchmark gram set rides along as kilobytes instead of a
+  *    shuffled join side, and ~all clean grams die inside the scan's
+  *    codegen stage instead of crossing the wire.
+  *  - a26_cms_freq: count-min sketch frequency estimates, built as a
+  *    grouped aggregation over (seed, md5-bucket) — the shuffle is
+  *    bounded by seeds × buckets × partitions REGARDLESS of row count
+  *    (partial aggregation collapses each map partition to ≤ d·w cells),
+  *    which is exactly the mergeable-sketch contract, expressed in plain
+  *    relational algebra so the DuckDB oracle can replay it bit-for-bit.
+  *    The output pins the CMS ≥ exact one-sided error guarantee on the
+  *    ten heaviest keys.
+  *  - st12_stream_dedup: exactly-once ingest under AT-LEAST-ONCE
+  *    redelivery. The staged source delivers the full event log TWICE
+  *    (two identical files, one per micro-batch);
+  *    `dropDuplicatesWithinWatermark(event_id)` suppresses the entire
+  *    second wave — rows still inside the watermark are killed by dedup
+  *    state, rows behind it are dropped as late (they are duplicates by
+  *    construction, so both paths are correct) — and the state store
+  *    holds only the watermark-bounded id window, never the full
+  *    history. The oracle is the plain batch aggregate over the event
+  *    log: any wave-2 leak doubles every count and fails the hash.
+  */
+object Extended60 {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Per-doc distinct word 5-grams (full five-word join — this is the
+    * decontamination fingerprint, so no first/last-word compression).
+    */
+  private def grams5(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+      .filter(size(col("ws")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ws) - 4),
+           i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1], ws[i+2], ws[i+3]))"""))
+        .as("gram"))
+      .distinct()
+
+  /** Stage the event log TWICE (identical files, increasing mtimes) so a
+    * `maxFilesPerTrigger=1` file stream replays it as two micro-batches:
+    * batch 1 is first delivery, batch 2 is a full redelivery. Idempotent
+    * per (pid, sf-dir).
+    */
+  private def stagedRedeliverDir(d: String): String = {
+    val dir = Paths.get(Scratch.dir("st12_events", d))
+    val ready = dir.resolve("_READY")
+    if (!Files.exists(ready)) {
+      Files.createDirectories(dir)
+      Seq("a_events.parquet", "b_redeliver.parquet").zipWithIndex.foreach {
+        case (name, i) =>
+          val dst = dir.resolve(name)
+          if (!Files.exists(dst)) Files.copy(Paths.get(d, "events.parquet"), dst)
+          Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+      Files.createFile(ready)
+    }
+    dir.toString
+  }
+
+  val queries: Map[String, Q] = Map(
+    // ---- bloom-pruned benchmark decontamination ----
+    "tp21_bloom_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val bench = docs.filter(col("doc_id") % 17 === 3)
+      val corpus = docs.filter(col("doc_id") % 17 =!= 3)
+      val bg = grams5(bench).select("gram").localCheckpoint()
+      // distributed one-pass build; the filter itself is the only thing
+      // that crosses to the driver (2^21 bits ≈ 256 KB — the broadcast
+      // artifact, same discipline as the trained IVF centroids)
+      val bfBytes = bg.agg(ColumnBridge.column(
+          new BloomFilterAggregate(
+            ColumnBridge.expression(xxhash64(col("gram"))),
+            Literal(200000L), Literal(1L << 21)).toAggregateExpression())
+          .as("bf"))
+        .head.getAs[Array[Byte]]("bf")
+      val corpusDocs = corpus.select("doc_id", "lang")
+      val contaminated =
+        if (bfBytes == null) corpusDocs.select("doc_id").limit(0)
+        else {
+          val mightContain = ColumnBridge.column(BloomFilterMightContain(
+            Literal(bfBytes, BinaryType),
+            ColumnBridge.expression(xxhash64(col("gram")))))
+          grams5(corpus)
+            .filter(mightContain) // codegen'd pre-filter: kills clean grams in-scan
+            .join(bg, Seq("gram"), "left_semi") // exact verify: no false positives survive
+            .select("doc_id").distinct()
+        }
+      corpusDocs
+        .join(contaminated.withColumn("hit", lit(1)), Seq("doc_id"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), count(col("hit")).as("n_contaminated"))
+        .orderBy("lang")
+    }),
+
+    // ---- count-min sketch frequency estimates ----
+    "a26_cms_freq" -> ((s, d) => {
+      val seeds = array((0 until 4).map(lit): _*)
+      def bucket(seed: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column) =
+        substring(md5(concat_ws(":", seed, key).cast("binary")), 1, 2)
+      val li = t(s, d, "lineitem").select(col("l_partkey"))
+      // d=4 hash rows × w=256 buckets; partial agg bounds the shuffle at
+      // d·w cells per map partition — the mergeable-sketch contract
+      val counters = li.select(explode(seeds).as("seed"), col("l_partkey"))
+        .select(col("seed"), bucket(col("seed"), col("l_partkey")).as("bucket"))
+        .groupBy("seed", "bucket").agg(count(lit(1)).as("c"))
+      val top = li.groupBy("l_partkey").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("l_partkey")).limit(10)
+      top.select(col("l_partkey"), col("exact_n"), explode(seeds).as("seed"))
+        .select(col("l_partkey"), col("exact_n"), col("seed"),
+          bucket(col("seed"), col("l_partkey")).as("bucket"))
+        .join(broadcast(counters), Seq("seed", "bucket"))
+        .groupBy("l_partkey", "exact_n").agg(min(col("c")).as("cms_est"))
+        .orderBy(col("exact_n").desc, col("l_partkey"))
+    }),
+
+    // ---- exactly-once ingest under redelivery ----
+    "st12_stream_dedup" -> ((s, d) => {
+      val dir = stagedRedeliverDir(d)
+      val schema = s.read.parquet(dir).schema
+      val stream = EventStream.normalize(s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir))
+      val deduped = stream.withWatermark("ts", "6 hours")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
+      Extended18.runToCompletion(s, deduped, "st12_mem", OutputMode.Append())
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        .orderBy("event_type")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "tp21_bloom_decontaminate" ->
+      """WITH w AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+             unnest(list_distinct([array_to_string(ws[i:i+4], ' ')
+                                   FOR i IN range(1, len(ws) - 3)])) AS gram
+           FROM w WHERE len(ws) >= 5),
+         bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 3),
+         cont AS (
+           SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram)
+           WHERE g.doc_id % 17 <> 3)
+         SELECT d.lang, count(*) AS n_docs,
+           count(c.doc_id) AS n_contaminated
+         FROM documents d LEFT JOIN cont c ON d.doc_id = c.doc_id
+         WHERE d.doc_id % 17 <> 3
+         GROUP BY d.lang ORDER BY d.lang""",
+    "a26_cms_freq" ->
+      """WITH keyed AS (
+           SELECT seed,
+             substr(md5(CAST(seed AS VARCHAR) || ':' ||
+                        CAST(l_partkey AS VARCHAR)), 1, 2) AS bucket
+           FROM lineitem CROSS JOIN (SELECT unnest([0,1,2,3]) AS seed)),
+         counters AS (
+           SELECT seed, bucket, count(*) AS c FROM keyed GROUP BY 1, 2),
+         top AS (
+           SELECT l_partkey, count(*) AS exact_n FROM lineitem
+           GROUP BY 1 ORDER BY exact_n DESC, l_partkey LIMIT 10),
+         probes AS (
+           SELECT l_partkey, exact_n, seed,
+             substr(md5(CAST(seed AS VARCHAR) || ':' ||
+                        CAST(l_partkey AS VARCHAR)), 1, 2) AS bucket
+           FROM top CROSS JOIN (SELECT unnest([0,1,2,3]) AS seed))
+         SELECT p.l_partkey, p.exact_n, min(c.c) AS cms_est
+         FROM probes p JOIN counters c USING (seed, bucket)
+         GROUP BY 1, 2 ORDER BY exact_n DESC, l_partkey""",
+    "st12_stream_dedup" ->
+      """SELECT event_type, count(*) AS n,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+         FROM events GROUP BY event_type ORDER BY event_type"""
+  )
+}

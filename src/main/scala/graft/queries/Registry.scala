@@ -70,7 +70,8 @@ object Registry {
     (Extended56.queries, Extended56.oracleSql),
     (Extended57.queries, Extended57.oracleSql),
     (Extended58.queries, Extended58.oracleSql),
-    (Extended59.queries, Extended59.oracleSql)
+    (Extended59.queries, Extended59.oracleSql),
+    (Extended60.queries, Extended60.oracleSql)
   )
 
   def queries: Map[String, Q] = providers.map(_._1).reduce(_ ++ _)

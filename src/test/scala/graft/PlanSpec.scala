@@ -429,4 +429,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"),
       s"the cumulative sweep must partition by event_type:\n$p")
   }
+
+  test("tp21 decontamination pre-filters the corpus grams with an in-scan bloom probe") {
+    val p = plan(graft.queries.Extended60.queries("tp21_bloom_decontaminate")(spark, sf))
+    // the codegen'd BloomFilterMightContain must sit on the corpus gram
+    // stream (a Filter BEFORE the exact semi join), so ~all clean grams
+    // die inside the scan stage instead of shuffling to the join
+    assert(p.contains("might_contain"), s"no bloom pre-filter in:\n$p")
+    assert(p.contains("LeftSemi"), s"exact verify join missing:\n$p")
+    assert(p.indexOf("might_contain") > p.indexOf("LeftSemi"),
+      s"bloom filter must be below (upstream of) the semi join:\n$p")
+  }
+
+  test("a26 count-min build is a partial-aggregated group-by, counters broadcast to probes") {
+    val p = plan(graft.queries.Extended60.queries("a26_cms_freq")(spark, sf))
+    // the sketch merge is a hash aggregate (map-side combine bounds the
+    // shuffle at d·w cells per partition); the 1024-cell counter table
+    // must broadcast onto the probes, never shuffle them
+    assert(p.contains("BroadcastHashJoin"), s"counters must broadcast:\n$p")
+    assert(!p.contains("RunningWindowFunction") && !p.contains("CartesianProduct"),
+      s"no window / pair join in the sketch path:\n$p")
+  }
 }
