@@ -34,7 +34,8 @@ object ExplainDump {
     "t21_readability", "j22_assortativity", "w11_longest_streak",
     "e26_active_users", "e27_robust_outliers", "e28_max_drawdown",
     "e29_cusum_excursion", "j25_link_prediction",
-    "ann_ivf_stored_topk", "ann_pq_stored_topk")
+    "ann_ivf_stored_topk", "ann_pq_stored_topk",
+    "tp21_bloom_decontaminate", "a26_cms_freq")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -56,7 +57,11 @@ object ExplainDump {
     Headline.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.collect() // finalize AQE so the printed plan is the executed one
+      // giant binary literals (e.g. tp21's ~256 KB embedded Bloom filter)
+      // print as megabyte hex strings — elide them; the plan SHAPE is the
+      // evidence, not the artifact bytes
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+        .replaceAll("0x[0-9A-Fa-f]{257,}", "0x…<large binary literal elided>")
       sb.append(s"\n## $name\n\n```\n$plan```\n")
     }
     Files.writeString(Paths.get(out), sb.toString)
