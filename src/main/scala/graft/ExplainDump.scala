@@ -35,7 +35,8 @@ object ExplainDump {
     "e26_active_users", "e27_robust_outliers", "e28_max_drawdown",
     "e29_cusum_excursion", "j25_link_prediction",
     "ann_ivf_stored_topk", "ann_pq_stored_topk",
-    "tp21_bloom_decontaminate", "a26_cms_freq")
+    "tp21_bloom_decontaminate", "a26_cms_freq",
+    "tp22_uniform_sample_n", "tp23_per_domain_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -441,6 +441,20 @@ class PlanSpec extends AnyFunSuite {
       s"bloom filter must be below (upstream of) the semi join:\n$p")
   }
 
+  test("tp22 global exact-N sample is TakeOrdered, never a global sort") {
+    val p = plan(graft.queries.Extended61.queries("tp22_uniform_sample_n")(spark, sf))
+    // map-side bounded N-heaps; only partitions*N rows travel. A Sort +
+    // GlobalLimit here would be the 100 TB full-sort anti-pattern.
+    assert(p.contains("TakeOrderedAndProject"), s"sample must be TakeOrdered:\n$p")
+  }
+
+  test("tp23 per-group sample runs on GroupTopK, not a row_number window") {
+    val p = plan(graft.queries.Extended61.queries("tp23_per_domain_sample")(spark, sf))
+    assert(p.contains("GroupTopK"), s"per-group sample must use GroupTopK:\n$p")
+    assert(!p.contains("RunningWindowFunction") && !p.contains("Window"),
+      s"no window in the sampling path:\n$p")
+  }
+
   test("a26 count-min build is a partial-aggregated group-by, counters broadcast to probes") {
     val p = plan(graft.queries.Extended60.queries("a26_cms_freq")(spark, sf))
     // the sketch merge is a hash aggregate (map-side combine bounds the
