@@ -42,7 +42,11 @@ object Hits {
 
   def hits(spark: SparkSession, edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val e = edges.select(col("src"), col("dst"))
+    // the edge relation is re-joined 2·iters + 1 times — materialize it
+    // once and truncate lineage so upstream work (e.g. a distinct over
+    // the fact table) doesn't re-run per round; executor-local blocks,
+    // released with the RDD (the g10 idiom, no driver round-trip)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
 
     // h⁰ = 1 for every node with any outgoing edge
     var hub: DataFrame = e.select(col("src")).distinct()

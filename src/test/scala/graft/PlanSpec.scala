@@ -455,6 +455,35 @@ class PlanSpec extends AnyFunSuite {
       s"no window in the sampling path:\n$p")
   }
 
+  test("a27 AUC rank-below table runs two-level: in-bucket windows keyed by bucket") {
+    val p = plan(graft.queries.Extended62.queries("a27_auc")(spark, sf))
+    // PrefixSum's in-bucket cumulative pass must be partitioned BY the
+    // bucket column (parallel across buckets); the only unpartitioned
+    // window allowed is the bucket-summary prefix (rows ∝ domain/width)
+    assert(p.contains("hashpartitioning(_b"),
+      s"in-bucket window must partition by bucket:\n$p")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      s"AUC arithmetic is built-in integer math:\n$p")
+  }
+
+  test("a28 KS ECDFs come from one PrefixSum pass; totals broadcast") {
+    val p = plan(graft.queries.Extended62.queries("a28_ks_drift")(spark, sf))
+    assert(p.contains("hashpartitioning(_b"),
+      s"in-bucket window must partition by bucket:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row totals must broadcast onto the histogram:\n$p")
+  }
+
+  test("r12 HITS rounds are keyed join+sum aggregates off a materialized edge list") {
+    val p = plan(graft.queries.Extended63.queries("r12_hits")(spark, sf))
+    assert(p.contains("Scan ExistingRDD"),
+      s"edge relation must be the localCheckpoint, not a re-run distinct:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"HITS is joins + hash aggregates only:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be TakeOrdered, not a global sort:\n$p")
+  }
+
   test("a26 count-min build is a partial-aggregated group-by, counters broadcast to probes") {
     val p = plan(graft.queries.Extended60.queries("a26_cms_freq")(spark, sf))
     // the sketch merge is a hash aggregate (map-side combine bounds the
