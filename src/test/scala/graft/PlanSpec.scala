@@ -484,6 +484,26 @@ class PlanSpec extends AnyFunSuite {
       s"top-20 must be TakeOrdered, not a global sort:\n$p")
   }
 
+  test("v8 MaxSim broadcasts the 8-row probe side, kernel stays native") {
+    val p = plan(graft.queries.Extended64.queries("v8_maxsim")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"probe sub-vectors must broadcast:\n$p")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      s"dot kernel is the native expression:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 must be TakeOrdered:\n$p")
+  }
+
+  test("tp24 curriculum ranks come from stage-keyed windows, not one global sort") {
+    val p = plan(graft.queries.Extended64.queries("tp24_curriculum_order")(spark, sf))
+    // the row_number pass must partition by stage (parallel across
+    // stages); stage offsets ride a broadcast join
+    assert(p.contains("hashpartitioning(stage"),
+      s"rank window must be keyed by stage:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"stage offsets must broadcast:\n$p")
+  }
+
   test("a26 count-min build is a partial-aggregated group-by, counters broadcast to probes") {
     val p = plan(graft.queries.Extended60.queries("a26_cms_freq")(spark, sf))
     // the sketch merge is a hash aggregate (map-side combine bounds the
