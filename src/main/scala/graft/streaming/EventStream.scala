@@ -347,4 +347,58 @@ object EventStream {
       }
       .toDF("user_id", "sess_start", "sess_end", "n", "total")
   }
+
+  /** Per-user running (event count, spend cents) after EVERY event, via
+    * the arbitrary-state v2 API (`transformWithState` +
+    * [[org.apache.spark.sql.streaming.ValueState]]) — the modern
+    * replacement for mapGroupsWithState. State is one (count, cents)
+    * pair per user in the RocksDB store (the v2 API's required
+    * provider); each micro-batch sorts its per-user rows by (event
+    * time, event_id) and folds from the persisted totals, so the
+    * emitted rows are a deterministic function of the replay's
+    * time-ordered waves. Cents are exact integers (round(value·100)),
+    * so cross-batch accumulation is combine-order-proof.
+    */
+  def runningTotals(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val typed = normalize(events)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, Long, Long, Long)]
+    typed.groupByKey(_._1)
+      .transformWithState(new RunningTotalsProcessor, TimeMode.None(),
+        OutputMode.Append())
+      .toDF("user_id", "event_id", "n_so_far", "cents_so_far")
+  }
+}
+
+/** State-v2 processor behind [[EventStream.runningTotals]]: one
+  * ValueState[(count, cents)] per user, folded in (event time, id)
+  * order within each batch.
+  */
+class RunningTotalsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, Long, Long), (Long, Long, Long, Long)] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.{Encoders, streaming}
+
+  @transient private var tot: ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    tot = getHandle.getValueState[(Long, Long)]("tot",
+      Encoders.product[(Long, Long)], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[(Long, Long, Long, Long)],
+      timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+    val sorted = rows.toSeq.sortBy(r => (r._3, r._2))
+    var (n, cents) = if (tot.exists()) tot.get() else (0L, 0L)
+    val out = sorted.map { case (uid, eid, _, c) =>
+      n += 1; cents += c
+      (uid, eid, n, cents)
+    }
+    tot.update((n, cents))
+    out.iterator
+  }
 }
