@@ -36,7 +36,10 @@ object ExplainDump {
     "e29_cusum_excursion", "j25_link_prediction",
     "ann_ivf_stored_topk", "ann_pq_stored_topk",
     "tp21_bloom_decontaminate", "a26_cms_freq",
-    "tp22_uniform_sample_n", "tp23_per_domain_sample")
+    "tp22_uniform_sample_n", "tp23_per_domain_sample",
+    "a27_auc", "a28_ks_drift", "a30_spearman", "a31_cramers_v",
+    "v8_maxsim", "tp24_curriculum_order", "tp25_kcenter_coreset",
+    "t23_vocab_growth", "t24_ngram_novelty", "r12_hits")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
