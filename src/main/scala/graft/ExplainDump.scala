@@ -39,7 +39,8 @@ object ExplainDump {
     "tp22_uniform_sample_n", "tp23_per_domain_sample",
     "a27_auc", "a28_ks_drift", "a30_spearman", "a31_cramers_v",
     "v8_maxsim", "tp24_curriculum_order", "tp25_kcenter_coreset",
-    "t23_vocab_growth", "t24_ngram_novelty", "r12_hits")
+    "t23_vocab_growth", "t24_ngram_novelty", "r12_hits",
+    "a32_benford", "u8_cdc_apply", "t26_source_overlap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
