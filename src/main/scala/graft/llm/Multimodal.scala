@@ -107,6 +107,83 @@ object Multimodal {
       }(enc)
   }
 
+  /** [[synthesizeImages]] with the pixel stream keyed by a SEPARATE seed
+    * column: identical seeds yield byte-identical PNGs under distinct
+    * media ids — the planted-duplicate corpus a perceptual-hash dedup
+    * ([[imageAHash]]) is gated against.
+    */
+  def synthesizeImagesSeeded(df: DataFrame, idCol: String,
+      seedCol: org.apache.spark.sql.Column): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaSchema)
+    graft.operators.Par.fanOut(df.select(col(idCol).cast("long").as("media_id"),
+        seedCol.cast("long").as("seed")))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (w, h, png) = synthPng(r.getLong(1))
+          Row(r.getLong(0), png, Row("image/png", w, h, null))
+        }
+      }(enc)
+  }
+
+  val aHashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("ahash", StringType),
+    StructField("n_bits", IntegerType)))
+
+  /** Average-hash perceptual fingerprint from a REAL decode: bit p (row-
+    * major pixel index) is set iff the pixel's 3-channel sum strictly
+    * exceeds the image mean — thresholded as the integer cross-multiply
+    * `gray_p · n > total` so no division enters the value. Emitted as a
+    * '0'/'1' string (3–8 px sides → 9–64 bits; a string dodges the
+    * BIGINT sign bit at p = 63 and groups/joins just as well). Identical
+    * pixels → identical hash, so planted duplicates collide exactly;
+    * undecodable content hashes to the empty string.
+    */
+  def imageAHash(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(aHashSchema)
+    graft.operators.Par.fanOut(media.select("media_id", "content")).mapPartitions { rows =>
+      rows.map { r =>
+        val content = r.getAs[Array[Byte]]("content")
+        val img =
+          if (content == null) null
+          else
+            try ImageIO.read(new ByteArrayInputStream(content))
+            catch { case _: java.io.IOException => null }
+        if (img == null) Row(r.getAs[Long]("media_id"), 0, 0, "", 0)
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val n = w * h
+          val gray = new Array[Long](n)
+          var total = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val g = ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+              gray(y * w + x) = g
+              total += g
+              x += 1
+            }
+            y += 1
+          }
+          val sb = new java.lang.StringBuilder(n)
+          var bits = 0
+          var p = 0
+          while (p < n) {
+            val set = gray(p) * n > total
+            sb.append(if (set) '1' else '0')
+            if (set) bits += 1
+            p += 1
+          }
+          Row(r.getAs[Long]("media_id"), w, h, sb.toString, bits)
+        }
+      }
+    }(enc)
+  }
+
   /** Real JDK decode: content bytes → (width, height, channels,
     * [mean, meanR, meanG, meanB] of the decoded pixels, each in [0, 1]).
     * Channel sums are accumulated as longs (exact, order-independent) with
