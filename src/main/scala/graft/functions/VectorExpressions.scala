@@ -168,6 +168,28 @@ case class PolyHash(child: Expression)
     copy(child = newChild)
 }
 
+/** splitmix64 finalizer as a native expression ([[Hashing.splitmix64]]):
+  * the engine's public deterministic stream, usable inside higher-order
+  * functions under ANSI mode (the JVM arithmetic wraps; inline SQL longs
+  * would overflow-throw). Null-propagating.
+  */
+case class SplitMix64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "splitmix64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Hashing.splitmix64(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Hashing.splitmix64($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SplitMix64 =
+    copy(child = newChild)
+}
+
 /** MinHash signature as a native Catalyst expression: stays inside
   * whole-stage codegen (no UDF plan break, no ScalaUDF boxing/encoder
   * round trip). Bit-identical to [[graft.llm.Dedup.minhashSignatureScala]]
