@@ -504,6 +504,27 @@ class PlanSpec extends AnyFunSuite {
       s"stage offsets must broadcast:\n$p")
   }
 
+  test("v9 binary codes pack and rank inside codegen, top-10 is TakeOrdered") {
+    val p = plan(graft.queries.Extended73.queries("v9_binary_hamming_topk")(spark, sf))
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      s"sign packing and bit_count are built-in/codegen:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 must be TakeOrdered, not a global sort:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row probe code must broadcast:\n$p")
+  }
+
+  test("tp28 span masking is one map-side stage: no shuffle before the doc rows") {
+    val p = plan(graft.queries.Extended74.queries("tp28_span_corruption")(spark, sf))
+    assert(p.contains("splitmix64"),
+      s"the native SplitMix64 expression must appear in the plan:\n$p")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      s"mask arithmetic stays native:\n$p")
+    // the only exchange allowed is the final presentation sort
+    assert(p.split("Exchange").length - 1 <= 1,
+      s"masking must not shuffle (one presentation sort max):\n$p")
+  }
+
   test("a26 count-min build is a partial-aggregated group-by, counters broadcast to probes") {
     val p = plan(graft.queries.Extended60.queries("a26_cms_freq")(spark, sf))
     // the sketch merge is a hash aggregate (map-side combine bounds the
