@@ -41,28 +41,45 @@ import org.apache.spark.sql.functions._
 object Hits {
 
   def hits(spark: SparkSession, edges: DataFrame, iters: Int): DataFrame = {
+    val (hub, auth) = rounds(edges, iters, finalHub = true)
+    hub.select(col("node"), col("score").as("hub"))
+      .join(auth.select(col("node"), col("score").as("auth")), Seq("node"),
+        "full_outer")
+      .na.fill(0L, Seq("hub", "auth"))
+  }
+
+  /** Authority scores only — skips the final hub update and the
+    * hub⋈auth join (an authority ranking never reads hᵗ, so computing
+    * it wastes one edge join + aggregate per call).
+    */
+  def authorities(spark: SparkSession, edges: DataFrame, iters: Int): DataFrame =
+    rounds(edges, iters, finalHub = false)._2
+      .select(col("node"), col("score").as("auth"))
+
+  private def rounds(edges: DataFrame, iters: Int, finalHub: Boolean)
+      : (DataFrame, DataFrame) = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    // the edge relation is re-joined 2·iters + 1 times — materialize it
-    // once and truncate lineage so upstream work (e.g. a distinct over
-    // the fact table) doesn't re-run per round; executor-local blocks,
-    // released with the RDD (the g10 idiom, no driver round-trip)
+    // the edge relation is re-joined up to 2·iters + 1 times —
+    // materialize it once and truncate lineage so upstream work (e.g. a
+    // distinct over the fact table) doesn't re-run per round;
+    // executor-local blocks, released with the RDD (the g10 idiom, no
+    // driver round-trip)
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
 
     // h⁰ = 1 for every node with any outgoing edge
     var hub: DataFrame = e.select(col("src")).distinct()
       .select(col("src").as("node"), lit(1L).as("score"))
     var auth: DataFrame = null
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       // aᵗ(d) = Σ_{(s,d) ∈ E} hᵗ⁻¹(s)
       auth = e.join(hub.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node")).agg(sum("score").as("score"))
-      // hᵗ(s) = Σ_{(s,d) ∈ E} aᵗ(d)
-      hub = e.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
-        .groupBy(col("src").as("node")).agg(sum("score").as("score"))
+      // hᵗ(s) = Σ_{(s,d) ∈ E} aᵗ(d) — skippable on the last round when
+      // the caller only ranks authorities
+      if (finalHub || it < iters)
+        hub = e.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
+          .groupBy(col("src").as("node")).agg(sum("score").as("score"))
     }
-    hub.select(col("node"), col("score").as("hub"))
-      .join(auth.select(col("node"), col("score").as("auth")), Seq("node"),
-        "full_outer")
-      .na.fill(0L, Seq("hub", "auth"))
+    (hub, auth)
   }
 }

@@ -50,10 +50,11 @@ class Extended63Spec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toList
     val edges = Tables.t(spark, d, "lineitem")
       .select(col("l_orderkey"), col("l_partkey")).distinct()
-      .collect().map(r => (s"o${r.getLong(0)}", s"p${r.getLong(1)}")).toSeq
+      .collect().map(r => (s"${r.getLong(0) * 2}", s"${r.getLong(1) * 2 + 1}"))
+      .toSeq
     val (_, a) = localHits(edges, 2)
-    val want = a.toList.collect { case (k, v) if k.startsWith("p") =>
-      (k.drop(1).toLong, v)
+    val want = a.toList.collect { case (k, v) if k.toLong % 2 == 1 =>
+      ((k.toLong - 1) / 2, v)
     }.sortBy(t => (-t._2, t._1)).take(20)
     assert(got == want)
   }
