@@ -36,7 +36,10 @@ object Coreset {
     */
   def kCenterGreedy(spark: SparkSession, df: DataFrame, idCol: String,
       vecCol: String, k: Int, seedId: Long): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
+    require(k >= 1 && k <= 4096,
+      s"k must be in [1, 4096], got $k — each greedy round is one scan " +
+        "plus a 1-row collect, so large k means k sequential jobs; " +
+        "cluster-sample first if you need more exemplars")
     val pts = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
 

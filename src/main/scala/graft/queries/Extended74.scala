@@ -31,8 +31,10 @@ object Extended74 {
     */
   private def sm(c: org.apache.spark.sql.Column) = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
+    // the expression assumes a LONG child (the house `coerced` pattern):
+    // cast here so int-typed seeds can't ClassCastException at eval
     ColumnBridge.column(
-      graft.functions.SplitMix64(ColumnBridge.expression(c)))
+      graft.functions.SplitMix64(ColumnBridge.expression(c.cast("long"))))
   }
 
   val queries: Map[String, Q] = Map(
