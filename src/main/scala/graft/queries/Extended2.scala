@@ -120,37 +120,46 @@ object Extended2 {
         .orderBy("vec_id")
     }),
 
-    // ---- GraphX triangle count on the co-ordered-parts graph ----
+    // ---- exact triangle count on the co-ordered-parts graph ----
+    // Degree-oriented wedge join, pure DataFrame (replaces the r2-r6
+    // GraphX TriangleCount): orient every undirected edge from its
+    // lower-(degree, id) endpoint; a triangle x<y<z in that total order
+    // contributes exactly one wedge (x→y, x→z) whose closing edge (y→z)
+    // is itself oriented — so count = |wedges ⋈ oriented|. Out-degrees
+    // under this orientation are ≤ √(2m), so the wedge relation is the
+    // O(m^1.5) arboricity bound — the optimal exact algorithm — and every
+    // stage is a codegen'd hash join/aggregate (no RDD boxing, no
+    // graph-build passes). localCheckpoints keep the self-joined inputs
+    // single-computation without leaving cache entries behind.
     "j9_triangles" -> ((s, d) => {
-      import s.implicits._
       val li = t(s, d, "lineitem").filter(col("l_linenumber") <= 5)
         .select("l_orderkey", "l_partkey")
       val pairs = li.as("x").join(li.as("y"), Seq("l_orderkey"))
         .filter(col("x.l_partkey") < col("y.l_partkey"))
         .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
         .distinct()
-      // GraphX walks the edge RDD several times (graph build, partitionBy,
-      // the triangle pass) — persist so the SQL self-join+distinct above
-      // runs ONCE, not once per pass; at scale the recompute would dwarf
-      // the count itself. Released before returning (the fold is eager).
-      val edges = pairs.as[(Long, Long)].rdd
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val g0 = org.apache.spark.graphx.Graph.fromEdgeTuples(edges, 0)
-        val g = g0.partitionBy(
-          org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
-        // pairs is already distinct with a < b — the canonical form — so the
-        // general triangleCount's extra dedup + orientation shuffle is skipped
-        val tcg = org.apache.spark.graphx.lib.TriangleCount.runPreCanonicalized(g)
-        val n = tcg.vertices.map(_._2.toLong).fold(0L)(_ + _) / 3
-        // the fold is eager: release every internally cached GraphX graph
-        // (pre-partition, partitioned, and the count result) before
-        // returning — each was a per-invocation executor-memory leak
-        tcg.unpersist(blocking = false)
-        g.unpersist(blocking = false)
-        g0.unpersist(blocking = false)
-        s.range(1).select(lit(n).as("n_triangles"))
-      } finally edges.unpersist(blocking = false)
+        .localCheckpoint()
+      val deg = pairs.select(col("a").as("n"))
+        .unionAll(pairs.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      // total-order key: (degree, id) packed so one long comparison
+      // decides orientation; ids are part keys < 2^32
+      val key = (col("deg") * lit(4294967296L) + col("n")).as("k")
+      val keyed = deg.select(col("n"), key)
+      val oriented = pairs
+        .join(keyed.withColumnRenamed("n", "a").withColumnRenamed("k", "ka"), "a")
+        .join(keyed.withColumnRenamed("n", "b").withColumnRenamed("k", "kb"), "b")
+        .select(
+          when(col("ka") < col("kb"), col("a")).otherwise(col("b")).as("u"),
+          when(col("ka") < col("kb"), col("b")).otherwise(col("a")).as("v"),
+          greatest(col("ka"), col("kb")).as("kv"))
+        .localCheckpoint()
+      val wedges = oriented.as("e1").join(oriented.as("e2"), Seq("u"))
+        .filter(col("e1.kv") < col("e2.kv"))
+        .select(col("e1.v").as("u"), col("e2.v").as("v"))
+      val closing = oriented.select("u", "v")
+      val n = wedges.join(closing, Seq("u", "v")).count()
+      s.range(1).select(lit(n).as("n_triangles"))
     })
   )
 
