@@ -350,6 +350,79 @@ object Multimodal {
       c0.toDouble / (n / ch) / 32768.0))
   }
 
+  /** Real JDK decode → time-domain DSP: WAV bytes → (sampleRate, channels,
+    * frames, zeroCrossings, peakAbs, silentCount). Zero crossings are
+    * counted on CHANNEL 0 (a sign flip between consecutive frames, "sign"
+    * = s < 0); peak |s| and the |s| < 1024 silent-sample count run over
+    * ALL interleaved samples. Every statistic is an exact integer, so the
+    * SQL oracle restates them from the generation stream with no codec
+    * and no float hazard. Undecodable or null content → zeros.
+    */
+  private[graft] def decodeAudioDsp(content: Array[Byte]): (Int, Int, Long, Long, Long, Long) = {
+    val zero = (0, 0, 0L, 0L, 0L, 0L)
+    if (content == null) return zero
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(content))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => null
+        case _: java.io.IOException => null
+      }
+    if (ais == null) return zero
+    val fmt = ais.getFormat
+    if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) return zero
+    val ch = fmt.getChannels
+    val frames = ais.getFrameLength
+    val bytes =
+      try ais.readAllBytes()
+      catch { case _: java.io.IOException => return zero }
+    val n = bytes.length / 2
+    if (n == 0) return zero
+    var zc = 0L
+    var peak = 0L
+    var silent = 0L
+    var prevNeg = false
+    var first = true
+    var i = 0
+    while (i < n) {
+      val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
+      val a = math.abs(s.toLong)
+      if (a > peak) peak = a
+      if (a < 1024) silent += 1
+      if (i % ch == 0) {
+        val neg = s < 0
+        if (!first && neg != prevNeg) zc += 1
+        prevNeg = neg
+        first = false
+      }
+      i += 1
+    }
+    (fmt.getSampleRate.toInt, ch, frames, zc, peak, silent)
+  }
+
+  val audioDspSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("zero_crossings", LongType),
+    StructField("peak_abs", LongType),
+    StructField("n_silent", LongType)))
+
+  /** Batch audio DSP extraction — same scaling shape as
+    * [[extractAudioFeatures]]: one decoder per partition, no shuffle.
+    */
+  def extractAudioDsp(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(audioDspSchema)
+    graft.operators.Par.fanOut(media.select("media_id", "content")).mapPartitions { rows =>
+      rows.map { r =>
+        val (rate, ch, frames, zc, peak, silent) =
+          decodeAudioDsp(r.getAs[Array[Byte]]("content"))
+        Row(r.getAs[Long]("media_id"), rate, ch, frames, zc, peak, silent)
+      }
+    }(enc)
+  }
+
   val audioFeatureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),
     StructField("sample_rate", IntegerType),
