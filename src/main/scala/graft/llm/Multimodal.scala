@@ -423,6 +423,61 @@ object Multimodal {
     }(enc)
   }
 
+  val tileSumSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("t0", LongType),
+    StructField("t1", LongType),
+    StructField("t2", LongType),
+    StructField("t3", LongType),
+    StructField("brightest", IntegerType)))
+
+  /** Real JDK decode → 2×2 tile-grid intensity sums: per image the exact
+    * BIGINT sum of all RGB channel values in each quadrant (pixel (x, y)
+    * belongs to quadrant (2y ≥ h ? 2 : 0) + (2x ≥ w ? 1 : 0) — the same
+    * integer rule a SQL oracle can restate), plus the argmax quadrant
+    * (ties → lowest index). Tile pooling is the plumbing a patch-based
+    * vision pipeline needs (ViT patch stats, saliency crops); the exact
+    * integer sums make a stubbed or lossy decoder fail the oracle.
+    * Undecodable or null content → zeros. Same scaling shape as
+    * [[imageAHash]]: one decoder per partition via mapPartitions,
+    * no shuffle.
+    */
+  def extractTileSums(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(tileSumSchema)
+    graft.operators.Par.fanOut(media.select("media_id", "content")).mapPartitions { rows =>
+      rows.map { r =>
+        val content = r.getAs[Array[Byte]]("content")
+        val img =
+          if (content == null) null
+          else
+            try ImageIO.read(new ByteArrayInputStream(content))
+            catch { case _: java.io.IOException => null }
+        if (img == null) Row(r.getAs[Long]("media_id"), 0, 0, 0L, 0L, 0L, 0L, 0)
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val t = new Array[Long](4)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val g = ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+              t((if (2 * y >= h) 2 else 0) + (if (2 * x >= w) 1 else 0)) += g
+              x += 1
+            }
+            y += 1
+          }
+          var best = 0
+          var k = 1
+          while (k < 4) { if (t(k) > t(best)) best = k; k += 1 }
+          Row(r.getAs[Long]("media_id"), w, h, t(0), t(1), t(2), t(3), best)
+        }
+      }
+    }(enc)
+  }
+
   val audioFeatureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),
     StructField("sample_rate", IntegerType),
