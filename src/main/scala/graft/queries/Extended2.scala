@@ -163,12 +163,11 @@ object Extended2 {
       val adj = oriented.groupBy(col("u").as("n")).agg(collect_list("v").as("nb"))
       // inner joins are exact here: an edge whose head has no out-
       // neighbours contributes 0 triangles and may drop
-      val n = oriented
+      oriented
         .join(broadcast(adj.toDF("u", "nu")), Seq("u"))
         .join(broadcast(adj.toDF("v", "nv")), Seq("v"))
-        .select(size(array_intersect(col("nu"), col("nv"))).as("c"))
-        .agg(sum("c")).head.getLong(0)
-      s.range(1).select(lit(n).as("n_triangles"))
+        .select(size(array_intersect(col("nu"), col("nv"))).cast("long").as("c"))
+        .agg(coalesce(sum("c"), lit(0L)).as("n_triangles"))
     })
   )
 

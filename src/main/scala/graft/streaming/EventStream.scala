@@ -253,6 +253,47 @@ object EventStream {
       .toDF("prev_type", "cur_type")
   }
 
+  /** Streaming point-in-time (as-of) enrichment — the feature-store
+    * lookup pattern: every `purchase` event is decorated with the most
+    * recent preceding `view` event's (event-time µs, exact milli-value)
+    * for the same user, "preceding" in the (ts, event_id) total order.
+    * State per user is ONE row — the latest view seen — so the store is
+    * keyed and O(users), never a buffer of history; each batch sorts its
+    * group's rows by (µs, event_id) and replays the order-respecting
+    * state machine, chaining across micro-batches through the state
+    * (exact under time-split waves / watermarked in-order upstream,
+    * matching the batch IGNORE-NULLS window row-for-row — the same
+    * arrival contract transitionPairs and runningTotals certify).
+    * Purchases with no prior view emit null lookup columns (the LEFT
+    * as-of semantics).
+    */
+  case class LastView(micros: Long, mv: Long)
+
+  def asOfEnrich(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val typed = normalize(events)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), round(col("value") * 1000).cast("long").as("mv"))
+      .as[(Long, Long, Long, String, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[LastView, (Long, Long, Long, Option[Long], Option[Long])](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          val sorted = rows.toSeq.sortBy(r => (r._3, r._2))
+          var last = state.getOption
+          val out = scala.collection.mutable
+            .ArrayBuffer[(Long, Long, Long, Option[Long], Option[Long])]()
+          sorted.foreach { case (_, eid, us, typ, mv) =>
+            if (typ == "view") last = Some(LastView(us, mv))
+            else out += ((uid, eid, us, last.map(_.micros), last.map(_.mv)))
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+      .toDF("user_id", "event_id", "p_us", "view_us", "view_mv")
+  }
+
   /** Stateful per-user running counters via mapGroupsWithState — the
     * custom-state extension point (session tracking, rate limiting, …).
     */

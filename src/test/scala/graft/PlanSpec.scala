@@ -534,4 +534,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("RunningWindowFunction") && !p.contains("CartesianProduct"),
       s"no window / pair join in the sketch path:\n$p")
   }
+
+  test("g11 candidates come from a broadcast cell-ring equi-join into GroupTopK") {
+    val p = plan(graft.queries.Extended83.queries("g11_grid_knn")(spark, sf))
+    // the 45-row (qid, cell) ring must broadcast onto the event scan;
+    // selection is the bounded-heap operator, not a row_number window
+    assert(p.contains("BroadcastHashJoin"), s"ring must broadcast:\n$p")
+    assert(p.contains("GroupTopK"), s"top-5 must use GroupTopK:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("RunningWindowFunction"),
+      s"no pair scan / window in the kNN path:\n$p")
+  }
+
+  test("j9 triangle pass is broadcast probes over one edge scan, no wedge shuffle") {
+    val p = plan(graft.queries.Extended2.queries("j9_triangles")(spark, sf))
+    // degree keys and out-adjacency arrays broadcast (node-catalog-
+    // bounded); the arboricity-bound intersection happens inside codegen
+    // via array_intersect — the 10M-row wedge relation must never exist
+    assert(p.contains("BroadcastHashJoin"), s"adjacency must broadcast:\n$p")
+    assert(p.contains("array_intersect"), s"closing is an array intersect:\n$p")
+  }
+
+  test("a35 Theil-Sen selection has no per-group single-partition window") {
+    val p = plan(graft.queries.Extended77.queries("a35_theil_sen")(spark, sf))
+    // the two-level Selection: the in-bucket cumulative window partitions
+    // by (group, bucket) — never by the group alone over the full domain
+    assert(p.contains("hashpartitioning(event_type"),
+      s"selection windows must stay bucket-keyed:\n$p")
+    assert(!p.contains("SinglePartition") || !p.contains("RunningWindowFunction"),
+      s"no single-partition cumulative window:\n$p")
+  }
 }
