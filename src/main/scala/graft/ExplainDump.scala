@@ -40,7 +40,13 @@ object ExplainDump {
     "a27_auc", "a28_ks_drift", "a30_spearman", "a31_cramers_v",
     "v8_maxsim", "tp24_curriculum_order", "tp25_kcenter_coreset",
     "t23_vocab_growth", "t24_ngram_novelty", "r12_hits",
-    "a32_benford", "u8_cdc_apply", "t26_source_overlap")
+    "a32_benford", "u8_cdc_apply", "t26_source_overlap",
+    "j9_triangles", "a35_theil_sen", "t27_minhash_calibration",
+    "tp30_calibration_bins", "tp31_dedup_threshold_curve",
+    "a37_psi_drift", "tp33_length_bucket_batches", "g11_grid_knn",
+    "j26_type_cooccurrence_pmi", "a40_hodges_lehmann",
+    "v10_lsh_cosine_census", "a41_poisson_bootstrap",
+    "u9_incremental_agg", "t28_lang_confusion")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
