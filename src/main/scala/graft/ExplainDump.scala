@@ -46,7 +46,9 @@ object ExplainDump {
     "a37_psi_drift", "tp33_length_bucket_batches", "g11_grid_knn",
     "j26_type_cooccurrence_pmi", "a40_hodges_lehmann",
     "v10_lsh_cosine_census", "a41_poisson_bootstrap",
-    "u9_incremental_agg", "t28_lang_confusion")
+    "u9_incremental_agg", "t28_lang_confusion",
+    "v11_ivf_probe_curve", "e32_conversion_lag_quantiles",
+    "e33_path_trigrams", "r13_degree_ccdf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
