@@ -37,6 +37,19 @@ object Bench {
     // name matches one of the comma-separated prefixes — same contract as
     // Verify's SPARK_GRAFT_ONLY
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSeq)
+    // fixed-overhead calibration: the median wall time of an effectively
+    // empty job, measured with the same rep protocol. Sub-second
+    // round-over-round "regressions" can then be compared against the
+    // session's ambient per-job overhead instead of read as plan changes.
+    def measure(body: => Unit): (Double, Double, Double) = {
+      val times = Seq.fill(reps) {
+        val t0 = System.nanoTime()
+        body
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      (times(reps / 2), times.head, times.last)
+    }
+    val calibration = measure { spark.range(100).count() }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .map { case (name, fn) =>
@@ -44,33 +57,49 @@ object Bench {
       // queries must be idempotent across repetitions (sinks overwrite,
       // graph updates drop+recreate). A non-idempotent query would silently
       // measure polluted state.
-      val times = Seq.fill(reps) {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
+      val m = measure { try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () } }
       // isolate queries from each other's debris: a query that caches (or a
       // leak we haven't found yet) must not tax every later query's median
       // with its memory pressure — measured up to 14x inflation on
       // late-alphabet queries before this was added
       spark.catalog.clearCache()
       System.gc()
-      name -> times.sorted.apply(reps / 2)
+      name -> m
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    def qmap(rs: Seq[(String, (Double, Double, Double))]): String =
+      rs.map { case (k, (med, _, _)) => "\"" + k + "\":" + med }
+        .mkString("{", ",", "}")
+    val total = results.map(_._2._1).sum
+    // The driver records only the TAIL of stdout (~2 KB): a line carrying
+    // all per-query times is ~12 KB and gets truncated mid-JSON — every
+    // prior round's bench artifact came back `parsed: null` for exactly
+    // this reason. So stdout gets a COMPACT, complete line (total +
+    // calibration + the slowest queries — the ones whose deltas are
+    // signal); the full per-query medians AND the min/max spread live in
+    // BENCH_SELF.json, committed with the repo.
+    val slowest = results.sortBy(-_._2._1).take(25).sortBy(_._1)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec"""" +
+      s""","n_queries":${results.size},"calibration_sec":${calibration._1}""" +
+      s""","queries":${qmap(slowest)},"sf":"$sfDir"}"""
     println(line)
-    // also persist verbatim: sbt wraps stdout in [info]/[success] noise, so
-    // leave a clean machine-readable copy next to the sources. The "sf"
-    // field records the dataset the run used; totals are only comparable
-    // between runs whose "sf" matches.
+    // full machine-readable record (sbt wraps stdout in [info]/[success]
+    // noise, and the compact stdout line drops the fast-query tail): all
+    // medians, plus per-query [min, max] across reps so a round-over-round
+    // delta can be judged against the measured rep spread, not guessed.
+    // The "sf" field records the dataset; totals compare only within an sf.
     // a filtered dev run must not clobber the full-sweep record
-    if (only.isEmpty)
+    if (only.isEmpty) {
+      val spread = results.map { case (k, (_, lo, hi)) =>
+        "\"" + k + "\":[" + lo + "," + hi + "]" }.mkString("{", ",", "}")
+      val full = s"""{"metric":"total","value":$total,"unit":"sec"""" +
+        s""","n_queries":${results.size},"reps":$reps""" +
+        s""","calibration_sec":${calibration._1}""" +
+        s""","calibration_spread":[${calibration._2},${calibration._3}]""" +
+        s""","queries":${qmap(results)},"spread":$spread,"sf":"$sfDir"}"""
       try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_SELF.json"), line + "\n")
+        java.nio.file.Paths.get("BENCH_SELF.json"), full + "\n")
       catch { case scala.util.control.NonFatal(_) => () }
+    }
     spark.stop()
   }
 }

@@ -25,15 +25,47 @@ object GeoJsonIngest {
   /** @param precision   node-id rounding decimals (ref `cli.py:11`, default 7)
     * @param changesSign numeric property columns negated on the reverse edge
     *                    (ref `cli.py:12`, `io.py:47-49`)
-    * @param assignFids  reproduce the reference's insertion-order fid
-    *                    (`feature_table.py:94`). Requires a global
-    *                    row_number — fine for build-time parity, switchable
-    *                    off at 100 TB where a surrogate isn't needed.
+    * @param assignFids  assign per-feature surrogate fids at all
+    *                    (`feature_table.py:94`); forward/reverse edges get
+    *                    `2*fidx-1` / `2*fidx` in every mode.
+    * @param denseFids   `Some(true)` = reference-parity insertion-order fids
+    *                    via a global row_number (single task — build-sized
+    *                    inputs only); `Some(false)` = shuffle-free sparse
+    *                    unique fids; `None` (default) = auto: dense while
+    *                    the input is under [[DenseFidMaxBytes]], sparse
+    *                    above it, so a naive 100 TB build can never
+    *                    serialize through one window task.
     */
   case class Options(
       precision: Int = 7,
       changesSign: Seq[String] = Nil,
-      assignFids: Boolean = true)
+      assignFids: Boolean = true,
+      denseFids: Option[Boolean] = None)
+
+  /** Auto-mode ceiling for dense insertion-order fids: under this input
+    * size the global row_number window is one small task's work (≈1M
+    * features) and reference fid parity is worth it; above it the sparse
+    * path keeps ingest fully parallel. Decided from file metadata only —
+    * no extra scan job.
+    */
+  val DenseFidMaxBytes: Long = 256L << 20
+
+  /** Metadata-only total input size (driver-side stat, no Spark job). */
+  private[graft] def inputBytes(spark: SparkSession, paths: Seq[String]): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    paths.map { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(conf)
+      def size(st: org.apache.hadoop.fs.FileStatus): Long =
+        if (st.isDirectory) fs.listStatus(st.getPath).map(size).sum else st.getLen
+      Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Nil).map(size).sum
+    }.sum
+  }
+
+  /** Resolve the fid mode for an input set (see [[Options.denseFids]]). */
+  private[graft] def denseByGate(spark: SparkSession, paths: Seq[String],
+      opts: Options): Boolean =
+    opts.denseFids.getOrElse(inputBytes(spark, paths) <= DenseFidMaxBytes)
 
   /** Read one or more GeoJSON FeatureCollection files into the canonical
     * edges DataFrame:
@@ -58,7 +90,7 @@ object GeoJsonIngest {
       case ArrayType(s: StructType, _) => propsOf(s)
       case _ => Nil
     }
-    fromFeatures(feats, propFields, opts)
+    fromFeatures(feats, propFields, opts, denseByGate(spark, paths, opts))
   }
 
   /** Read newline-delimited GeoJSON features (GeoJSONSeq / ndjson — one
@@ -79,10 +111,10 @@ object GeoJsonIngest {
       .select(layerCol.as("_layer"), monotonically_increasing_id().as("pos"),
         fStruct.as("f"))
       .filter(col("f.geometry.type") === "LineString")
-    // unique (sparse) fids from the partition-local ids: the dense
-    // insertion-order window of the FC path would serialize this
-    // splittable read through one task
-    fromFeatures(feats, propsOf(raw.schema), opts, denseFids = false)
+    // sparse unless explicitly forced dense: this reader exists to split,
+    // and the dense insertion-order window would serialize it through one
+    // task
+    fromFeatures(feats, propsOf(raw.schema), opts, opts.denseFids.getOrElse(false))
   }
 
   private def layerCol =
@@ -99,12 +131,13 @@ object GeoJsonIngest {
 
   /** Shared pipeline from an exploded feature frame (_layer, pos, f).
     * `denseFids` = reference-parity insertion-order fids via a global
-    * window (single-task — fine for build-sized FeatureCollections);
-    * false = unique fids derived from `pos` with no shuffle (the scale
-    * path; ids are sparse but keep the odd/even forward/reverse pairing).
+    * window (single-task — fine for build-sized inputs, resolved by
+    * [[denseByGate]]); false = unique sparse fids from
+    * `monotonically_increasing_id` with no shuffle (the scale path;
+    * surrogate values, but the odd/even forward/reverse pairing holds).
     */
   private[ingest] def fromFeatures(feats: DataFrame, propFields: Seq[String],
-      opts: Options, denseFids: Boolean = true): DataFrame = {
+      opts: Options, denseFids: Boolean): DataFrame = {
     val coords = col("f.geometry.coordinates").cast(ArrayType(ArrayType(DoubleType)))
     // reference drops None-valued props per-feature (io.py:16-19); columnar
     // NULLs carry the same semantics.
@@ -127,7 +160,10 @@ object GeoJsonIngest {
         base.withColumn("fidx",
           row_number().over(Window.orderBy("_layer", "pos")))
       else if (opts.assignFids)
-        base.withColumn("fidx", col("pos") + 1)
+        // unique across files and partitions with no shuffle; values are
+        // sparse surrogates (partition-local counters), which is all a
+        // 100 TB build needs from a fid
+        base.withColumn("fidx", monotonically_increasing_id() + 1)
       else base
 
     def signFlip(name: String, c: Column, reverse: Boolean): Column =

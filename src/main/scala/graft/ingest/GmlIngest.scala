@@ -65,7 +65,8 @@ object GmlIngest {
     val feats = raw
       .select(col("_layer"), col("pos"), fStruct.as("f"))
       .filter(col("f.geometry.type") === "LineString")
-    GeoJsonIngest.fromFeatures(feats, GeoJsonIngest.propsOf(raw.schema), opts)
+    GeoJsonIngest.fromFeatures(feats, GeoJsonIngest.propsOf(raw.schema), opts,
+      GeoJsonIngest.denseByGate(spark, paths, opts))
   }
 
   /** Member container local names: GML 2/3 `featureMember(s)` plus the

@@ -68,7 +68,8 @@ object KmlIngest {
     val feats = raw
       .select(col("_layer"), col("pos"), fStruct.as("f"))
       .filter(col("f.geometry.type") === "LineString")
-    GeoJsonIngest.fromFeatures(feats, GeoJsonIngest.propsOf(raw.schema), opts)
+    GeoJsonIngest.fromFeatures(feats, GeoJsonIngest.propsOf(raw.schema), opts,
+      GeoJsonIngest.denseByGate(spark, paths, opts))
   }
 
   /** Hardened DOM builder shared by the XML ingest formats (KML, GML,

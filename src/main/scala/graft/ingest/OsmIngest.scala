@@ -58,7 +58,8 @@ object OsmIngest {
       .select(col("_layer"), col("pos"),
         struct(col("geometry"), col("properties")).as("f"))
       .filter(col("f.geometry.type") === "LineString")
-    GeoJsonIngest.fromFeatures(feats, GeoJsonIngest.propsOf(raw.schema), opts)
+    GeoJsonIngest.fromFeatures(feats, GeoJsonIngest.propsOf(raw.schema), opts,
+      GeoJsonIngest.denseByGate(spark, paths, opts))
   }
 
   /** GeoJSON Feature JSON lines for every line-like way. */

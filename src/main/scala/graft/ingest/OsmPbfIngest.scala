@@ -111,7 +111,8 @@ object OsmPbfIngest {
       .select(col("_layer"), col("pos"),
         struct(col("geometry"), col("properties")).as("f"))
       .filter(col("f.geometry.type") === "LineString")
-    GeoJsonIngest.fromFeatures(feats, GeoJsonIngest.propsOf(raw.schema), opts)
+    GeoJsonIngest.fromFeatures(feats, GeoJsonIngest.propsOf(raw.schema), opts,
+      GeoJsonIngest.denseByGate(spark, paths, opts))
   }
 
   // ---------------------------------------------------------------------

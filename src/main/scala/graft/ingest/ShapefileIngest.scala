@@ -72,7 +72,8 @@ object ShapefileIngest {
     val feats = raw
       .select(col("_layer"), col("pos"), fStruct.as("f"))
       .filter(col("f.geometry.type") === "LineString")
-    GeoJsonIngest.fromFeatures(feats, GeoJsonIngest.propsOf(raw.schema), opts)
+    GeoJsonIngest.fromFeatures(feats, GeoJsonIngest.propsOf(raw.schema), opts,
+      GeoJsonIngest.denseByGate(spark, paths, opts))
   }
 
   // ============================ .shp geometry ============================

@@ -47,16 +47,27 @@ object Coreset {
     def distTo(center: Seq[Double]) =
       lit(1.0) - Similarity.cosine(col("v"), vecLit(center))
 
-    val seed = pts.filter(col("id") === seedId).head()
+    val seed = pts.filter(col("id") === seedId).take(1).headOption.getOrElse(
+      sys.error(s"kCenterGreedy: seed id $seedId not found in '$idCol'"))
     var centers = Vector((seedId, seed.getSeq[Double](1)))
     // running min distance to the selected set, folded one center per round
     var scored = pts.withColumn("md", distTo(centers.head._2))
-    for (_ <- 2 to k) {
-      val next = scored.orderBy(col("md").desc, col("id")).limit(1).head()
-      val nid = next.getLong(0)
-      val nv = next.getSeq[Double](1)
-      centers :+= ((nid, nv))
-      scored = scored.withColumn("md", least(col("md"), distTo(nv)))
+    var exhausted = false
+    for (_ <- 2 to k if !exhausted) {
+      val next = scored.filter(col("md") > 0)
+        .orderBy(col("md").desc, col("id")).limit(1).take(1).headOption
+      next match {
+        case Some(row) =>
+          val nid = row.getLong(0)
+          val nv = row.getSeq[Double](1)
+          centers :+= ((nid, nv))
+          scored = scored.withColumn("md", least(col("md"), distTo(nv)))
+        case None =>
+          // every remaining point coincides with a selected center (k >
+          // distinct points, or duplicate vectors): stop rather than
+          // re-emit an already-covered point as a duplicate center
+          exhausted = true
+      }
     }
     val rows = centers.zipWithIndex.map { case ((id, _), i) =>
       Row(i + 1L, id)

@@ -231,6 +231,8 @@ object Dedup {
       shingleN: Int): (DataFrame, Long, () => Unit) = {
     val sh = graft.operators.Par.fanOut(df)
       .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    // global window over the DISTINCT vocabulary only — bounded by the
+    // kernel's 64k-vocab gate (see ngramJaccardTopK), never the corpus
     val vocab = sh.select(explode(col("sh")).as("s")).distinct()
       .select(col("s"), (row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy("s")) - 1).as("sid"))

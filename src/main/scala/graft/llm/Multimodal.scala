@@ -327,10 +327,18 @@ object Multimodal {
     val fmt = ais.getFormat
     if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) return zero
     val ch = fmt.getChannels
-    val frames = ais.getFrameLength
     val bytes =
       try ais.readAllBytes()
       catch { case _: java.io.IOException => return zero }
+    // AudioSystem reports NOT_SPECIFIED (-1) frame counts for some
+    // containers; emitting it raw would break the zeros-on-undecodable
+    // contract (n_frames = -1 beside valid stats) — derive from the
+    // decoded byte count instead (frameSize = channels * 2 for 16-bit)
+    val rawFrames = ais.getFrameLength
+    val frames =
+      if (rawFrames == javax.sound.sampled.AudioSystem.NOT_SPECIFIED.toLong)
+        bytes.length.toLong / (ch * 2)
+      else rawFrames
     val n = bytes.length / 2
     var sum = 0L
     var sumSq = 0L
@@ -372,10 +380,18 @@ object Multimodal {
     val fmt = ais.getFormat
     if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) return zero
     val ch = fmt.getChannels
-    val frames = ais.getFrameLength
     val bytes =
       try ais.readAllBytes()
       catch { case _: java.io.IOException => return zero }
+    // AudioSystem reports NOT_SPECIFIED (-1) frame counts for some
+    // containers; emitting it raw would break the zeros-on-undecodable
+    // contract (n_frames = -1 beside valid stats) — derive from the
+    // decoded byte count instead (frameSize = channels * 2 for 16-bit)
+    val rawFrames = ais.getFrameLength
+    val frames =
+      if (rawFrames == javax.sound.sampled.AudioSystem.NOT_SPECIFIED.toLong)
+        bytes.length.toLong / (ch * 2)
+      else rawFrames
     val n = bytes.length / 2
     if (n == 0) return zero
     var zc = 0L

@@ -94,10 +94,12 @@ object Extended18 {
     */
   private def stagedEventsDir(d: String): String = {
     val dir = Paths.get(Scratch.dir("st_events", d))
-    Files.createDirectories(dir)
-    val dst = dir.resolve("events.parquet")
-    if (!Files.exists(dst))
-      Files.copy(Paths.get(d, "events.parquet"), dst)
+    Scratch.sync(dir.toString) {
+      Files.createDirectories(dir)
+      val dst = dir.resolve("events.parquet")
+      if (!Files.exists(dst))
+        Files.copy(Paths.get(d, "events.parquet"), dst)
+    }
     dir.toString
   }
 
@@ -113,7 +115,7 @@ object Extended18 {
   private def stagedSessionDir(s: SparkSession, d: String): String = {
     val dir = Paths.get(Scratch.dir("st3_events", d))
     val ready = dir.resolve("_READY")
-    if (!Files.exists(ready)) {
+    Scratch.sync(dir.toString) { if (!Files.exists(ready)) {
       Files.createDirectories(dir)
       val events = dir.resolve("a_events.parquet")
       if (!Files.exists(events))
@@ -154,7 +156,7 @@ object Extended18 {
             java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
         }
       Files.createFile(ready)
-    }
+    } }
     dir.toString
   }
 

@@ -148,9 +148,11 @@ object Extended2 {
       val deg = pairs.select(col("a").as("n"))
         .unionAll(pairs.select(col("b").as("n")))
         .groupBy("n").agg(count(lit(1)).as("deg"))
-      // total-order key: (degree, id) packed so one long comparison
-      // decides orientation; ids are part keys < 2^32
-      val key = (col("deg") * lit(4294967296L) + col("n")).as("k")
+      // total-order key: the (degree, id) STRUCT — Spark compares structs
+      // lexicographically, so orientation needs one comparison and cannot
+      // overflow for any id/degree range (the packed deg·2^32+id long it
+      // replaces silently wrapped past 2^32 ids or 2^31 degrees)
+      val key = struct(col("deg"), col("n")).as("k")
       val keyed = deg.select(col("n"), key)
       val oriented = pairs
         .join(broadcast(keyed.withColumnRenamed("n", "a")

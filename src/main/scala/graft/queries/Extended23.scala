@@ -27,7 +27,7 @@ object Extended23 {
   private def stagedDocWaves(s: SparkSession, d: String): String = {
     val dir = Paths.get(Scratch.dir("st4_docs", d))
     val ready = dir.resolve("_READY")
-    if (!Files.exists(ready)) {
+    Scratch.sync(dir.toString) { if (!Files.exists(ready)) {
       Files.createDirectories(dir)
       val docs = t(s, d, "documents")
       Seq(("a_wave0.parquet", 0), ("b_wave1.parquet", 1)).foreach {
@@ -45,7 +45,7 @@ object Extended23 {
             java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
       }
       Files.createFile(ready)
-    }
+    } }
     dir.toString
   }
 

@@ -34,10 +34,13 @@ object Extended27 {
   private def stagedLateWaves(s: SparkSession, d: String): String = {
     val dir = Paths.get(Scratch.dir("st7_events", d))
     val ready = dir.resolve("_READY")
-    if (!Files.exists(ready)) {
+    Scratch.sync(dir.toString) { if (!Files.exists(ready)) {
       Files.createDirectories(dir)
       // raw read: waves must carry the source log's parquet ts flavor
       val ev = s.read.parquet(s"$d/events.parquet")
+      // fixture staging, once per (process, sf dir): the global row_number
+      // only picks the newest odd row to pin the wave schedule — never a
+      // production plan
       val odd = ev.filter(col("event_id") % 2 === 1).withColumn("_rn",
         row_number().over(Window.orderBy(col("ts").desc, col("event_id").desc)))
       val waves = Seq(
@@ -54,7 +57,7 @@ object Extended27 {
           java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
       }
       Files.createFile(ready)
-    }
+    } }
     dir.toString
   }
 

@@ -41,32 +41,33 @@ object Extended30 {
   private[queries] def stagedOuterDir(s: SparkSession, d: String): String = {
     val dir = Paths.get(Scratch.dir("st8_events", d))
     val done = dir.resolve("_staged")
-    if (Files.exists(done)) return dir.toString
-    Files.createDirectories(dir)
-    Files.copy(Paths.get(d, "events.parquet"), dir.resolve("events.parquet"))
-    val raw = s.read.parquet(dir.toString)
-    val maxMicros = Tables.normalizeTs(raw)
-      .agg(max(unix_micros(col("ts")))).head.getLong(0)
-    val farMicros = maxMicros + 30L * 24 * 3600 * 1000000L
-    // sentinel ts must be written in the SAME physical flavor as the
-    // staged file (long nanos / NTZ / LTZ) or the fixed-schema file
-    // stream would mis-read the appended part
-    val farCol = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => lit(farMicros * 1000L)
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        timestamp_micros(lit(farMicros))
-          .cast(org.apache.spark.sql.types.TimestampNTZType)
-      case _ => timestamp_micros(lit(farMicros))
-    }
-    def sent(id: Long, typ: String) = raw.limit(1)
-      .withColumn("event_id", lit(id)).withColumn("ts", farCol)
-      .withColumn("user_id", lit(9999999L))
-      .withColumn("event_type", lit(typ))
-      .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
-    sent(-1L, "click").union(sent(-2L, "purchase"))
-      .select(raw.columns.map(col): _*)
-      .write.mode("append").parquet(dir.toString)
-    Files.createFile(done)
+    Scratch.sync(dir.toString) { if (!Files.exists(done)) {
+      Files.createDirectories(dir)
+      Files.copy(Paths.get(d, "events.parquet"), dir.resolve("events.parquet"))
+      val raw = s.read.parquet(dir.toString)
+      val maxMicros = Tables.normalizeTs(raw)
+        .agg(max(unix_micros(col("ts")))).head.getLong(0)
+      val farMicros = maxMicros + 30L * 24 * 3600 * 1000000L
+      // sentinel ts must be written in the SAME physical flavor as the
+      // staged file (long nanos / NTZ / LTZ) or the fixed-schema file
+      // stream would mis-read the appended part
+      val farCol = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => lit(farMicros * 1000L)
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          timestamp_micros(lit(farMicros))
+            .cast(org.apache.spark.sql.types.TimestampNTZType)
+        case _ => timestamp_micros(lit(farMicros))
+      }
+      def sent(id: Long, typ: String) = raw.limit(1)
+        .withColumn("event_id", lit(id)).withColumn("ts", farCol)
+        .withColumn("user_id", lit(9999999L))
+        .withColumn("event_type", lit(typ))
+        .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+      sent(-1L, "click").union(sent(-2L, "purchase"))
+        .select(raw.columns.map(col): _*)
+        .write.mode("append").parquet(dir.toString)
+      Files.createFile(done)
+    } }
     dir.toString
   }
 

@@ -7,22 +7,28 @@ import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.EventStream
 
 /** Round-6 surface extensions, batch 35: the streaming twin of the
-  * transition matrix — per-user lag() re-expressed as cross-batch
+  * transition matrix — per-user lag() re-expressed as
   * flatMapGroupsWithState (the last event chains through state between
-  * micro-batches), replayed over two time-ordered waves so pairs that
-  * SPAN the wave boundary certify the state handoff. Final aggregation
-  * over the emitted pairs reproduces `e22_transition_matrix`'s counts
-  * and shares exactly, under the same oracle SQL.
+  * micro-batches — a handoff StreamingSpec certifies with an explicit
+  * two-batch fixture; the sweep replay runs one micro-batch). Final
+  * aggregation over the emitted pairs reproduces
+  * `e22_transition_matrix`'s counts and shares exactly, under the same
+  * oracle SQL.
   */
 object Extended35 {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // NO per-file wave cap: the state fold sorts each group's batch rows
+    // by (event time, id), so the emitted pair multiset is identical in
+    // one micro-batch or two — last-event handoff across batches is
+    // certified by StreamingSpec's explicit two-batch fixture, and the
+    // wave cost here was pure state-store commit overhead.
     "st9_stream_transition" -> ((s, d) => {
       val dir = Extended26.stagedTimeWaves(s, d)
       val schema = s.read.parquet(dir).schema
       val stream = EventStream.normalize(s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(dir))
+        .parquet(dir))
       val pairs = EventStream.transitionPairs(s, stream)
       val mem = Extended18.runToCompletion(s, pairs, "st9_mem",
         OutputMode.Append())

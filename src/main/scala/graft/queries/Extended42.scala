@@ -12,7 +12,7 @@ import graft.route.Bridges
   *
   *  - j17: BRIDGE EDGES ([[graft.route.Bridges]] — local Tarjan low-link
   *    under the gate, spanning-forest + XOR-cover Borůvka above it;
-  *    BridgesSpec pins the two paths equal). The graph is a sparse
+  *    GraphOpsPropertySpec pins the two paths equal). The graph is a sparse
   *    supernode contraction of orders (1-in-89 sample of orderkeys,
   *    128 supernodes) — sparse enough to have real cut edges (26 at
   *    sf0.01). The oracle is a completely different algorithm:

@@ -56,11 +56,12 @@ object Extended55 {
           round(col("value") * 1000).cast("long").as("v"))
         .localCheckpoint()
       val cnt = ev.groupBy("v").agg(count(lit(1)).as("n"))
-      val med = cnt.select(col("v"),
-          sum("n").over(Window.orderBy("v")).as("cw"),
-          sum("n").over(Window.partitionBy()).as("tw"))
-        .filter(lit(2) * col("cw") >= col("tw"))
-        .agg(min("v").as("m"))
+      // global lower median via driver-assisted bounded selection (the
+      // value domain is milli-scaled and fixed, so the artifact is
+      // sf-invariant) — NOT a sum-over-Window.orderBy cumulative walk,
+      // which would serialize the whole histogram through one reducer
+      val med = graft.operators.Selection
+        .lowerMedianBounded(cnt, Seq.empty, "v", "n", "m")
       val x = ev.crossJoin(broadcast(med))
         .select(col("event_type"), (col("v") - col("m")).as("dv"),
           col("ts"), col("event_id"))

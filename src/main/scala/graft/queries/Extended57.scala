@@ -34,14 +34,14 @@ object Extended57 {
   private def stagedIndexedTable(s: SparkSession, d: String): String = {
     val dir = Paths.get(Scratch.dir("ann_table", d))
     val ready = dir.resolve("_READY")
-    if (!Files.exists(ready)) {
+    Scratch.sync(dir.toString) { if (!Files.exists(ready)) {
       Files.createDirectories(dir)
       val rest = t(s, d, "embeddings").filter(col("vec_id") =!= 0)
       AnnStore.writeIndexedTable(s, rest, "vec_id", "embedding",
         dir.resolve("table").toString,
         nCentroids = 16, m = 8, ksub = 16, trainIters = 2)
       Files.createFile(ready)
-    }
+    } }
     dir.resolve("table").toString
   }
 

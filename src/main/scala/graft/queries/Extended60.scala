@@ -71,7 +71,7 @@ object Extended60 {
   private def stagedRedeliverDir(d: String): String = {
     val dir = Paths.get(Scratch.dir("st12_events", d))
     val ready = dir.resolve("_READY")
-    if (!Files.exists(ready)) {
+    Scratch.sync(dir.toString) { if (!Files.exists(ready)) {
       Files.createDirectories(dir)
       Seq("a_events.parquet", "b_redeliver.parquet").zipWithIndex.foreach {
         case (name, i) =>
@@ -81,7 +81,7 @@ object Extended60 {
             java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
       }
       Files.createFile(ready)
-    }
+    } }
     dir.toString
   }
 

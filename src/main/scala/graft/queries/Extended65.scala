@@ -12,9 +12,10 @@ import graft.llm.Coreset
   *    embedding table ([[graft.llm.Coreset]]) — k scans, each folding
   *    the newest broadcast center into a running min-distance with
   *    `least(...)` and taking the argmax as TakeOrdered(1). The oracle
-  *    unrolls the same five rounds as chained CTEs over
-  *    `list_cosine_similarity`, so every distance comparison is the
-  *    identical IEEE sequence.
+  *    unrolls the same five rounds as chained CTEs over the
+  *    [[OracleSql.cosExact]] fold, so every distance comparison is the
+  *    identical IEEE sequence (never DuckDB's own
+  *    `list_cosine_similarity`, whose accumulation order is unpinned).
   *  - t24_ngram_novelty: per-document novelty — the fraction of a doc's
   *    word-3-gram positions whose gram has never appeared in any
   *    EARLIER document (first occurrence = min(doc_id), the tp13/t23
@@ -61,22 +62,30 @@ object Extended65 {
 
   val oracleSql: Map[String, String] = Map(
     "tp25_kcenter_coreset" -> {
+      // distance restated with the repo's cosExact fold (dot /
+      // (sqrt(aa)*sqrt(bb)), left-to-right accumulation) — the same IEEE
+      // sequence Similarity.cosine runs, as the ANN oracles pin it.
+      // DuckDB's list_cosine_similarity may accumulate differently, and a
+      // near-tie at another scale could then flip the selected center.
+      // centers enter each round as a CROSS-JOINed 1-row column (cv), not
+      // a scalar subquery: the cosExact list_transform lambda cannot
+      // reference a subquery (DuckDB restriction)
       val dist = (v: String, c: String) =>
-        s"1 - list_cosine_similarity($v, $c)"
+        s"1 - ${OracleSql.cosExact(v, c)}"
       s"""WITH e AS (
            SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings WHERE vec_id <> 0),
-         d1 AS (SELECT id, v,
-             ${dist("v", "(SELECT v FROM e WHERE id = 1)")} AS md FROM e),
+         d1 AS (SELECT id, v, ${dist("v", "cv")} AS md
+             FROM e CROSS JOIN (SELECT v AS cv FROM e WHERE id = 1)),
          c2 AS (SELECT id, v FROM d1 ORDER BY md DESC, id LIMIT 1),
-         d2 AS (SELECT id, v,
-             least(md, ${dist("v", "(SELECT v FROM c2)")}) AS md FROM d1),
+         d2 AS (SELECT id, v, least(md, ${dist("v", "cv")}) AS md
+             FROM d1 CROSS JOIN (SELECT v AS cv FROM c2)),
          c3 AS (SELECT id, v FROM d2 ORDER BY md DESC, id LIMIT 1),
-         d3 AS (SELECT id, v,
-             least(md, ${dist("v", "(SELECT v FROM c3)")}) AS md FROM d2),
+         d3 AS (SELECT id, v, least(md, ${dist("v", "cv")}) AS md
+             FROM d2 CROSS JOIN (SELECT v AS cv FROM c3)),
          c4 AS (SELECT id, v FROM d3 ORDER BY md DESC, id LIMIT 1),
-         d4 AS (SELECT id, v,
-             least(md, ${dist("v", "(SELECT v FROM c4)")}) AS md FROM d3),
+         d4 AS (SELECT id, v, least(md, ${dist("v", "cv")}) AS md
+             FROM d3 CROSS JOIN (SELECT v AS cv FROM c4)),
          c5 AS (SELECT id, v FROM d4 ORDER BY md DESC, id LIMIT 1)
          SELECT CAST(1 AS BIGINT) AS round, CAST(1 AS BIGINT) AS vec_id
          UNION ALL SELECT 2, (SELECT id FROM c2)

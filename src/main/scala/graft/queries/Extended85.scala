@@ -16,10 +16,11 @@ import graft.streaming.EventStream
   *    per user, "preceding" in the (ts, event_id) total order; no prior
   *    view → null columns (LEFT as-of). Cross-batch correctness is the
   *    load-bearing part — views in wave k must satisfy purchases in wave
-  *    k+1 through ONE state row per user (never buffered history), which
-  *    the per-file trigger forces and the batch IGNORE-NULLS window
-  *    oracle certifies row-for-row. Milli-values are exact BIGINTs, so
-  *    no float enters the parity surface.
+  *    k+1 through ONE state row per user (never buffered history) — a
+  *    handoff StreamingSpec certifies with an explicit two-batch fixture,
+  *    while this sweep query replays the whole log in one batch under the
+  *    batch IGNORE-NULLS window oracle row-for-row. Milli-values are
+  *    exact BIGINTs, so no float enters the parity surface.
   *
   * Scale shape: state is O(distinct users) × one row; each micro-batch
   * sorts only its own per-group slice. The oracle's window is the
@@ -34,11 +35,16 @@ object Extended85 {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // NO per-file wave cap: each batch sorts its group rows by (event
+    // time, id) before replaying the state machine, so one micro-batch
+    // and two produce the same enriched rows — the views-in-wave-k →
+    // purchases-in-wave-k+1 handoff is certified by StreamingSpec's
+    // explicit two-batch fixture, where the wave schedule is cheap.
     "st14_stream_asof_enrich" -> ((s, d) => {
       val dir = Extended26.stagedTimeWaves(s, d)
       val schema = s.read.parquet(dir).schema
       val stream = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .parquet(dir)
       val enriched = EventStream.asOfEnrich(s, stream)
       Extended18.runToCompletion(s, enriched, "st14_mem", OutputMode.Append())
         .orderBy("user_id", "event_id")

@@ -122,7 +122,11 @@ object Relational {
         .filter(col("event_type") === "purchase" && col("value").isNotNull)
         .select(col("event_id"), col("user_id"), round(col("value"), 2).as("value"))
         .orderBy("event_id")),
-    // P7 engine-owned surrogate key (feature_table.py:554-560)
+    // P7 engine-owned surrogate key (feature_table.py:554-560): the
+    // reference CONTRACT is a dense insertion-order fid, which is a global
+    // row_number by definition — kept here as the parity restatement. The
+    // scale path for surrogate ids is the sparse monotonically_increasing_id
+    // fid of the ingest tier (GeoJsonIngest, default above the dense gate).
     "p7_surrogate_fid" -> ((s, d) =>
       t(s, d, "orders")
         .select(row_number().over(Window.orderBy("o_orderkey")).as("fid"),

@@ -10,4 +10,13 @@ private[graft] object Scratch {
     new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_${tag}_${ProcessHandle.current().pid()}_" +
         sfDir.replaceAll("[^a-zA-Z0-9]", "_")).getAbsolutePath
+
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Serialize one-time fixture staging of `dir`: Verify's parallel
+    * workers can hit the same check-then-build block concurrently; the
+    * loser of this lock re-checks `_READY` and skips the build.
+    */
+  def sync[T](dir: String)(body: => T): T =
+    locks.computeIfAbsent(dir, _ => new Object).synchronized(body)
 }

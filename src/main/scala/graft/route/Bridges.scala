@@ -59,7 +59,7 @@ object Bridges {
     */
   def bridges(spark: SparkSession, edges: DataFrame,
       maxLocalEdges: Long = Route.LocalPathMaxEdges,
-      maxDepth: Int = 512): DataFrame = {
+      maxDepth: Int = 512, tagSalt: Long = 0L): DataFrame = {
     import spark.implicits._
     val canon = edges.select(
         least(col("u").cast("long"), col("v").cast("long")).as("u"),
@@ -72,7 +72,7 @@ object Bridges {
       val es = canon.as[(Long, Long)].collect()
       return bridgesLocal(es).toSeq.toDF("u", "v")
     }
-    bridgesDistributed(spark, canon, maxDepth)
+    bridgesDistributed(spark, canon, maxDepth, tagSalt)
   }
 
   /** 2-edge-connected components: the equivalence classes left when every
@@ -161,9 +161,18 @@ object Bridges {
     out.toArray.sorted
   }
 
-  /** The distributed spanning-forest + XOR-cover path (see object doc). */
+  /** The distributed spanning-forest + XOR-cover path (see object doc).
+    * `tagSalt` perturbs the per-edge tag hash: the Monte-Carlo cover test
+    * fails only when some non-tree edge subset XORs to zero, and with the
+    * default salt that event — while ≈2⁻⁶⁴-improbable at random — is a
+    * FIXED property of the input. A caller who must defend against
+    * adversarially-constructed edge lists (or simply wants independent
+    * repetitions to drive the error to 2⁻¹²⁸) re-runs with fresh salts;
+    * the true bridge set is salt-invariant, so differing answers across
+    * salts expose the unlucky run.
+    */
   private def bridgesDistributed(spark: SparkSession, canon: DataFrame,
-      maxDepth: Int): DataFrame = {
+      maxDepth: Int, tagSalt: Long): DataFrame = {
     // 1. deterministic spanning forest (unit weights; (w,u,v) order)
     val forest = Mst.minimumSpanningForest(spark,
         canon.withColumn("w", lit(0.0)), maxLocalEdges = 0L)
@@ -216,7 +225,7 @@ object Bridges {
     // single-edge failure mode of the XOR trick), so the zero hash maps
     // to a fixed non-zero constant; only multi-edge XOR cancellation
     // remains, at the documented ≈2⁻⁶⁴.
-    val rawTag = xxhash64(col("u"), col("v"))
+    val rawTag = xxhash64(lit(tagSalt), col("u"), col("v"))
     val tagged = nonTree.withColumn("tag",
       when(rawTag === 0L, lit(0x9E3779B97F4A7C15L)).otherwise(rawTag))
     val vertexVal = tagged.select(col("u").as("node"), col("tag"))

@@ -59,6 +59,12 @@ object Hits {
   private def rounds(edges: DataFrame, iters: Int, finalHub: Boolean)
       : (DataFrame, DataFrame) = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    // unnormalized BIGINT scores grow ~(mean degree)^(2·iters); past 4
+    // rounds a high-degree graph can wrap 2^63 SILENTLY (non-ANSI sums),
+    // corrupting the ranking — enforce the documented bound loudly
+    require(iters <= 4,
+      s"iters must be <= 4 (BIGINT power iteration overflows past ~degree^8" +
+        s" products), got $iters — rescale or normalize before ranking deeper")
     // the edge relation is re-joined up to 2·iters + 1 times —
     // materialize it once and truncate lineage so upstream work (e.g. a
     // distinct over the fact table) doesn't re-run per round;

@@ -117,7 +117,12 @@ object GeoPackageFile {
     val cols = (Seq(""""fid" INTEGER""", """"geom" TEXT""") ++
       attrs.map(f => s""""${f.name}" ${declType(f.dataType)}""")) :+ """PRIMARY KEY ("fid")"""
     val sql = s"""CREATE TABLE "$name" (${cols.mkString(", ")})"""
-    // deterministic fids: keep stored ones, else dense row_number in key order
+    // deterministic fids: keep stored ones, else dense row_number in key
+    // order. The global window is deliberate: a .gpkg is ONE SQLite file
+    // written through one writer anyway (the scale tier is the parquet
+    // PropertyGraph; GeoPackage export is the interchange artifact), so
+    // the single-task sort is bounded by what fits in a file, not by the
+    // cluster's data.
     val keyed =
       if (df.columns.contains("fid")) df.withColumn("fid", col("fid").cast("long"))
       else {

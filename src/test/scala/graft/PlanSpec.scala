@@ -563,4 +563,57 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition") || !p.contains("RunningWindowFunction"),
       s"no single-partition cumulative window:\n$p")
   }
+
+  test("e29 CUSUM global median is a bounded local relation, no global window") {
+    // round 8: the global-median selection moved off the un-partitioned
+    // sum-over-Window.orderBy cumulative onto the driver-assisted bounded
+    // selection (operators/Selection.lowerMedianBounded) — the median
+    // arrives as a 1-row LocalTableScan; the only windows left are the
+    // per-event-type CUSUM walks, keyed by event_type
+    val p = plan(graft.queries.Extended55.queries("e29_cusum_excursion")(spark, sf))
+    assert(p.contains("LocalTableScan"), s"bounded median expected:\n$p")
+    assert(p.contains("hashpartitioning(event_type"),
+      s"CUSUM windows must stay keyed by event_type:\n$p")
+    assert(!p.contains("SinglePartition") || !p.contains("RunningWindowFunction"),
+      s"no single-partition cumulative window:\n$p")
+  }
+
+  test("sparse-fid ingest: no global window in the build plan, fids stay unique") {
+    import graft.ingest.GeoJsonIngest
+    val dir = Files.createTempDirectory("graft-fidmode")
+    def feature(i: Int) =
+      s"""{"type":"Feature","properties":{"n":$i},"geometry":{"type":"LineString","coordinates":[[0.00$i,0.0],[0.00$i,0.001]]}}"""
+    val nd = dir.resolve("w.geojsonl")
+    Files.writeString(nd, (1 to 6).map(feature).mkString("\n"))
+    val fc1 = dir.resolve("a.geojson")
+    val fc2 = dir.resolve("b.geojson")
+    Files.writeString(fc1,
+      s"""{"type":"FeatureCollection","features":[${feature(1)},${feature(2)}]}""")
+    Files.writeString(fc2,
+      s"""{"type":"FeatureCollection","features":[${feature(3)},${feature(4)}]}""")
+
+    // ndjson default: sparse — no window operator anywhere in the plan
+    val seqEdges = GeoJsonIngest.readEdgesSeq(spark, Seq(nd.toString))
+    val pSeq = plan(seqEdges)
+    assert(!pSeq.contains("Window"), s"ndjson build must not window:\n$pSeq")
+    assert(seqEdges.select("fid").distinct().count() == seqEdges.count())
+
+    // forced-sparse FC reader: no window, fids unique across FILES (the
+    // per-file posexplode index would collide here without mono-id fids)
+    val sparseFc = GeoJsonIngest.readEdges(spark, Seq(fc1.toString, fc2.toString),
+      GeoJsonIngest.Options(denseFids = Some(false)))
+    val pFc = plan(sparseFc)
+    assert(!pFc.contains("Window"), s"sparse FC build must not window:\n$pFc")
+    assert(sparseFc.select("fid").distinct().count() == sparseFc.count())
+
+    // auto gate: build-sized input resolves dense (reference fid parity —
+    // PropertyGraphSpec's fid==2 contract rides this), and the explicit
+    // dense mode is the insertion-order window
+    assert(GeoJsonIngest.denseByGate(spark, Seq(fc1.toString), GeoJsonIngest.Options()))
+    assert(GeoJsonIngest.inputBytes(spark, Seq(fc1.toString, fc2.toString)) > 0)
+    val dense = GeoJsonIngest.readEdges(spark, Seq(fc1.toString, fc2.toString),
+      GeoJsonIngest.Options(denseFids = Some(true)))
+    assert(dense.select("fid").as[Long](spark.implicits.newLongEncoder)
+      .collect().sorted.toSeq == (1L to 8L))
+  }
 }

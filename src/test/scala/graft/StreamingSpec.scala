@@ -418,4 +418,102 @@ class StreamingSpec extends AnyFunSuite {
       assert(math.abs(g._5 - b._5) <= 0.02, s"$g vs $b")
     }
   }
+
+  // ---- explicit two-batch state-handoff fixtures ----
+  // The sf-sweep registry replays (st5/st6/st9/st13/st14) run in ONE
+  // micro-batch — their operators sort per-group batch rows by (event
+  // time, id), so wave count cannot change their output. The cross-batch
+  // handoff each operator's state performs is certified HERE instead,
+  // where the two-wave schedule costs milliseconds, not sweep seconds.
+
+  private def eventsDf(rows: Seq[(Long, Long, Long, String, Double)]) = {
+    import spark.implicits._
+    rows.toDF("user_id", "event_id", "sec", "event_type", "value")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+  }
+
+  test("transition pairs chain across micro-batches through state") {
+    val src = java.nio.file.Files.createTempDirectory("graft-trans2-src")
+    // user 1: view@100, click@200 arrive in batch 1; purchase@300 in
+    // batch 2 — the (click, purchase) pair SPANS the batch boundary and
+    // exists only if batch 1's last event survived in state
+    val wave1 = eventsDf(Seq((1L, 1L, 100L, "view", 1.0), (1L, 2L, 200L, "click", 1.0),
+      (2L, 3L, 150L, "view", 1.0)))
+    val wave2 = eventsDf(Seq((1L, 4L, 300L, "purchase", 1.0),
+      (2L, 5L, 250L, "click", 1.0)))
+    TestSpark.stageSingleParquet(wave1, src, "wave1.parquet")
+    val stream = spark.readStream.schema(wave1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    val q = EventStream.transitionPairs(spark, stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("trans2_out").start()
+    try {
+      q.processAllAvailable()
+      TestSpark.stageSingleParquet(wave2, src, "wave2.parquet")
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("trans2_out")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(got == Seq("click" -> "purchase", "view" -> "click", "view" -> "click"))
+  }
+
+  test("as-of enrichment: views in batch k satisfy purchases in batch k+1") {
+    val src = java.nio.file.Files.createTempDirectory("graft-asof2-src")
+    // user 1's only view arrives in batch 1; its purchase in batch 2 must
+    // be enriched from STATE. user 2's purchase precedes any view → nulls.
+    val wave1 = eventsDf(Seq((1L, 1L, 100L, "view", 2.5),
+      (2L, 2L, 120L, "purchase", 9.0)))
+    val wave2 = eventsDf(Seq((1L, 3L, 300L, "purchase", 7.0),
+      (2L, 4L, 400L, "view", 1.0)))
+    TestSpark.stageSingleParquet(wave1, src, "wave1.parquet")
+    val stream = spark.readStream.schema(wave1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    val q = EventStream.asOfEnrich(spark, stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("asof2_out").start()
+    try {
+      q.processAllAvailable()
+      TestSpark.stageSingleParquet(wave2, src, "wave2.parquet")
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("asof2_out").orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long])))
+    assert(got.toSeq == Seq(
+      (2L, 2L, None, None),                                   // no prior view
+      (1L, 3L, Some(100L * 1000000L), Some(2500L))))          // from batch-1 state
+  }
+
+  test("running totals (transformWithState) continue from batch-1 ValueState") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = java.nio.file.Files.createTempDirectory("graft-rt2-src")
+      val wave1 = eventsDf(Seq((1L, 1L, 100L, "view", 1.00),
+        (1L, 2L, 200L, "click", 2.00)))
+      val wave2 = eventsDf(Seq((1L, 3L, 300L, "purchase", 3.00)))
+      TestSpark.stageSingleParquet(wave1, src, "wave1.parquet")
+      val stream = spark.readStream.schema(wave1.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src.toString)
+      val q = EventStream.runningTotals(spark, stream)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("rt2_out").start()
+      try {
+        q.processAllAvailable()
+        TestSpark.stageSingleParquet(wave2, src, "wave2.parquet")
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("rt2_out").orderBy("n_so_far")
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      // batch-2 row continues n=3, cents=600 — only possible if batch 1's
+      // (2, 300) pair was read back from the RocksDB ValueState
+      assert(got.toSeq == Seq((1L, 1L, 100L), (2L, 2L, 300L), (3L, 3L, 600L)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
