@@ -203,6 +203,16 @@ object Main {
       import org.apache.spark.sql.functions._
       val nDocs = n.toLong
       val threshold = rest.headOption.map(_.toDouble).getOrElse(0.6)
+      // size the shuffle to the corpus, as any real deployment does: the
+      // LSH pair join shuffles 2·bands·n banded rows, and a partition
+      // count pinned at cpu-count turns its per-reducer sort superlinear
+      // once partitions stop fitting the sorter (measured 5.4× cost for
+      // 4× docs at 32 fixed partitions; linear again at ~250k banded
+      // rows/partition). AQE coalesces small partitions back down, so
+      // oversizing here is cheap.
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions",
+        math.max(prevParts.toInt, (nDocs * 16 / 250000L).toInt).toString)
       val docs = spark.range(nDocs).select(col("id").as("doc_id"))
         .withColumn("_g", (col("doc_id") / 100).cast("long"))
         .withColumn("_j", pmod(col("doc_id"), lit(100)))
@@ -224,6 +234,7 @@ object Main {
       val expected = nDocs - 2 * (nDocs / 100)
       println(f"dedup-smoke: docs=$nDocs kept=$kept expected≈$expected " +
         f"dropped=${nDocs - kept} wall=$wall%.1fs")
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
 
     // train an ANN index over a parquet embeddings table (vec_id,
     // embedding) and persist the artifact — the build half of the

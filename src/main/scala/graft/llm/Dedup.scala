@@ -122,6 +122,15 @@ object Dedup {
       threshold: Double = 0.6, numHashes: Int = 64, bands: Int = 16,
       shingleN: Int = 2): DataFrame = {
     val buckets = lshBuckets(df, idCol, textCol, numHashes, bands, shingleN)
+    // bucket-equality self-join: 2·bands·n rows per side, whole-stage
+    // codegen'd SMJ. Per-reducer sort size is what degrades when the
+    // shuffle partition count lags the corpus (the 4M-doc smoke measured
+    // 5.4× for 4× docs at a FIXED 32 partitions; sized partitions restore
+    // the linear slope — see cli dedup-smoke) — the partition count is a
+    // cluster sizing knob, not an operator property. A grouped
+    // collect_list-per-bucket variant was measured strictly worse at both
+    // 1M and 4M docs (it trades the codegen'd sort for an un-combinable
+    // 16M-group hash aggregate), so the join form stays.
     val a = buckets.toDF("a", "band", "bucket")
     val b = buckets.toDF("b", "band", "bucket")
     val cand = a.join(b, Seq("band", "bucket")).filter(col("a") < col("b"))
