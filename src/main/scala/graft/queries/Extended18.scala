@@ -167,18 +167,30 @@ object Extended18 {
     * point of the streaming operators.
     */
   private[queries] def runToCompletion(s: SparkSession, out: DataFrame, name: String,
-      mode: OutputMode): DataFrame = {
+      mode: OutputMode, partitions: Int = 4): DataFrame = {
     s.catalog.dropTempView(name)
-    val ckpt = Files.createTempDirectory(s"graft_ckpt_$name").toString
+    // replay checkpoints are throwaway (fresh per invocation — the replay
+    // IS the unit of work, nothing recovers across it), so they belong on
+    // tmpfs when one exists: every micro-batch fsyncs offsets + commits +
+    // per-partition state snapshots, and that disk latency — not state
+    // size — was the floor under the 14-query replay block. Durable
+    // checkpoints are for deployments that need recovery (RecoverySpec
+    // exercises that path with real on-disk checkpoints).
+    val ckptBase = Paths.get("/dev/shm")
+    val ckpt = (if (Files.isDirectory(ckptBase) && Files.isWritable(ckptBase))
+      Files.createTempDirectory(ckptBase, s"graft_ckpt_$name")
+    else Files.createTempDirectory(s"graft_ckpt_$name")).toString
     // streaming state parallelism sized to the replay: every micro-batch
     // commits one state store PER shuffle partition PER stateful operator,
     // so a multi-wave replay at the batch default (32) pays hundreds of
     // store commits for kilobytes of state. 8 partitions is the right size
-    // for the event-log replays; a real deployment sizes this to its key
-    // cardinality at first start (the checkpoint pins it thereafter —
-    // fresh checkpoint per run here, so the scope-down is safe).
+    // for the keyed-state replays; the stream-stream JOINS carry real
+    // per-row work on both sides and take more (callers pass it). A real
+    // deployment sizes this to its key cardinality at first start (the
+    // checkpoint pins it thereafter — fresh checkpoint per run here, so
+    // the scope-down is safe).
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", partitions.toString)
     try {
       val q = out.writeStream.format("memory").queryName(name)
         .outputMode(mode).option("checkpointLocation", ckpt)
@@ -225,7 +237,7 @@ object Extended18 {
     // handoff across batches is st8's job).
     "st2_stream_funnel" -> ((s, d) => {
       val j = EventStream.funnelJoin(EventStream.readEvents(s, stagedEventsDir(d)))
-      runToCompletion(s, j, "st2_mem", OutputMode.Append())
+      runToCompletion(s, j, "st2_mem", OutputMode.Append(), partitions = 4)
         .orderBy("user_id", "click_id", "purchase_id")
     }),
 

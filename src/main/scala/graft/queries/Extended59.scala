@@ -50,7 +50,8 @@ object Extended59 {
       val stream = EventStream.normalize(s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(dir))
       val j = EventStream.funnelFullJoin(stream)
-      Extended18.runToCompletion(s, j, "st11_mem", OutputMode.Append())
+      Extended18.runToCompletion(s, j, "st11_mem", OutputMode.Append(),
+        partitions = 4)
         .filter(col("user_id") =!= 9999999L)
         .groupBy("user_id", "purchase_id")
         .agg(count(col("click_id")).as("n_clicks"),
