@@ -454,6 +454,49 @@ object Route {
     ranks
   }
 
+  /** PERSONALIZED PageRank — random walk with restart to a seed set:
+    * r⁰ = 1_seeds/|seeds|;  rᵗ⁺¹ = ρ·1_seeds/|seeds| + (1−ρ)·AᵀD⁻¹rᵗ.
+    * The ranking primitive behind "similar nodes" / recommendation
+    * queries, completing the family beside [[pageRankStatic]] (global)
+    * and [[graft.route.Hits]]. Same plan shape as the static form: one
+    * out-degree aggregate up front, then per-iteration one join + one
+    * keyed sum — no driver-side state, no windows; the determinism note
+    * above applies identically (a ≤2-term contribution sum is
+    * commutative, so chain/cycle fixtures gate bit-exactly).
+    *
+    * @param seeds one column `node`; must be non-empty and a subset of
+    *              `nodes` (mass restarts only there)
+    */
+  def personalizedPageRank(spark: SparkSession, nodes: DataFrame,
+      edges: DataFrame, seeds: DataFrame, iters: Int,
+      resetProb: Double = 0.15): DataFrame = {
+    require(iters >= 0, s"iters must be non-negative, got $iters")
+    require(resetProb > 0 && resetProb < 1, s"resetProb in (0,1), got $resetProb")
+    val damp = 1.0 - resetProb
+    val nSeeds = seeds.select(col("node")).distinct().count()
+    require(nSeeds > 0, "personalizedPageRank needs at least one seed")
+    val seedMass = nodes
+      .join(seeds.select(col("node")).distinct(), Seq("node"), "left_semi")
+      .select(col("node"), (lit(1.0) / lit(nSeeds.toDouble)).as("_e"))
+    val base = nodes.join(seedMass, Seq("node"), "left")
+      .select(col("node"), coalesce(col("_e"), lit(0.0)).as("_e"))
+    val outDeg = edges.groupBy("src").agg(count(lit(1)).as("_od"))
+    val contribEdges = edges.join(outDeg, "src")
+    var ranks = base.select(col("node"), col("_e").as("rank"))
+    for (_ <- 1 to iters) {
+      val contribs = contribEdges
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst"), (col("rank") / col("_od")).as("_c"))
+        .groupBy("dst").agg(sum("_c").as("_csum"))
+      ranks = base
+        .join(contribs, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(resetProb) * col("_e") +
+            lit(damp) * coalesce(col("_csum"), lit(0.0))).as("rank"))
+    }
+    ranks
+  }
+
   /** Betweenness centrality (weighted Brandes) accumulated over the given
     * source set — the last of the reference's "centrality metrics"
     * (`README.md:66-68`) next to [[closeness]] and [[pageRank]].
