@@ -48,7 +48,12 @@ object ExplainDump {
     "v10_lsh_cosine_census", "a41_poisson_bootstrap",
     "u9_incremental_agg", "t28_lang_confusion",
     "v11_ivf_probe_curve", "e32_conversion_lag_quantiles",
-    "e33_path_trigrams", "r13_degree_ccdf")
+    "e33_path_trigrams", "r13_degree_ccdf",
+    "tp35_repetition_signals", "e34_cohort_retention", "a44_kendall_tau",
+    "a45_changepoint", "tp36_quality_gate", "e35_stickiness",
+    "e36_funnel_conversion", "q26_ltv_deciles", "t30_lexical_diversity",
+    "r14_ppr_chain", "j27_adamic_adar", "tp37_cross_source_oov",
+    "a46_seasonality_strength", "e37_gap_regularity", "q27_ship_sla")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -578,6 +578,22 @@ class PlanSpec extends AnyFunSuite {
       s"no single-partition cumulative window:\n$p")
   }
 
+  test("q26 decile boundaries are a bounded local relation, no sort, no window") {
+    // multi-rank bounded selection: both distributed passes are plain
+    // aggregates; the result materializes as a LocalTableScan — a global
+    // sort or cumulative window anywhere would mark a scale regression
+    val p = plan(graft.queries.Extended95.queries("q26_ltv_deciles")(spark, sf))
+    assert(p.contains("LocalTableScan"), s"bounded-selection result expected:\n$p")
+    assert(!p.contains("Window"), s"no cumulative window allowed:\n$p")
+  }
+
+  test("a45 change point: broadcast day-pair join, struct-min argmin, no window") {
+    val p = plan(graft.queries.Extended94.queries("a45_changepoint")(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"the day-bounded pair join must broadcast:\n$p")
+    assert(!p.contains("Window"), s"argmin is a struct-min aggregate, not a window:\n$p")
+  }
+
   test("sparse-fid ingest: no global window in the build plan, fids stay unique") {
     import graft.ingest.GeoJsonIngest
     val dir = Files.createTempDirectory("graft-fidmode")
