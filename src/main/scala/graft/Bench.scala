@@ -63,6 +63,13 @@ object Bench {
       // with its memory pressure — measured up to 14x inflation on
       // late-alphabet queries before this was added
       spark.catalog.clearCache()
+      // localCheckpoint blocks are NOT in the catalog cache — across
+      // 362×reps invocations they accumulate in the block manager until
+      // string-shuffle-heavy late-alphabet queries spill (t32 measured
+      // 8.6→27→59 s across reps; t29 14 s median). Results are already
+      // collected, so dropping the blocks is safe.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       System.gc()
       name -> m
     }

@@ -53,7 +53,14 @@ object ExplainDump {
     "a45_changepoint", "tp36_quality_gate", "e35_stickiness",
     "e36_funnel_conversion", "q26_ltv_deciles", "t30_lexical_diversity",
     "r14_ppr_chain", "j27_adamic_adar", "tp37_cross_source_oov",
-    "a46_seasonality_strength", "e37_gap_regularity", "q27_ship_sla")
+    "a46_seasonality_strength", "e37_gap_regularity", "q27_ship_sla",
+    "a48_mann_whitney", "a49_mutual_info", "e38_hurst", "e39_shewhart",
+    "j28_rectangles", "j29_reciprocity", "t31_term_burstiness",
+    "t32_entropy_rate", "v13_silhouette", "v14_jl_distortion",
+    "a50_jensen_shannon", "a51_durbin_watson", "g12_geohash_cells",
+    "a52_grubbs", "tp38_coverage_curve", "a53_theil_decomposition",
+    "a54_bh_fdr", "t33_heaps_law", "j30_local_bridges",
+    "tp39_mixture_temperature", "a55_ljung_box", "a56_kruskal_wallis")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -594,6 +594,50 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"argmin is a struct-min aggregate, not a window:\n$p")
   }
 
+  test("j28 rectangles: wedge join is a keyed hash join, never a cartesian") {
+    val p = plan(graft.queries.Extended101.queries("j28_rectangles")(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"the wedge self-join must stay keyed on the center vertex:\n$p")
+    assert(!p.contains("Window"), s"motif counting needs no window:\n$p")
+  }
+
+  test("tp38 coverage: count-of-counts selection, no global vocabulary sort") {
+    val p = plan(graft.queries.Extended106.queries("tp38_coverage_curve")(spark, sf))
+    // the k-th-largest-count boundary resolves against the tiny
+    // count-of-counts relation via a broadcast inequality join — the
+    // vocabulary itself is only ever hash-aggregated, never sorted
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"boundary join must broadcast the histogram:\n$p")
+    assert(!p.contains("TakeOrderedAndProject") || !p.contains("rank("),
+      s"no rank window over the vocabulary:\n$p")
+  }
+
+  test("v14 JL projection: one scan, codegen kernel, no join and no window") {
+    val p = plan(graft.queries.Extended103.queries("v14_jl_distortion")(spark, sf))
+    assert(!p.contains("Join"), s"the projection is per-row, no join:\n$p")
+    assert(!p.contains("Window"), s"no window in the kernel:\n$p")
+    // one scan feeding a partial-aggregated reduction — the whole kernel
+    // lives in the scan stage's project (AQE prints codegen spans only
+    // after execution, so assert the stage shape instead)
+    assert(p.contains("HashAggregate") && p.contains("FileScan parquet"),
+      s"kernel must reduce inside the scan stage:\n$p")
+  }
+
+  test("g12 geohash: cell aggregate is partial-aggregated, terminal TakeOrdered") {
+    val p = plan(graft.queries.Extended105.queries("g12_geohash_cells")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be TakeOrdered, not a global sort:\n$p")
+    assert(!p.contains("Window"), s"no window in the encode path:\n$p")
+  }
+
+  test("e38 Hurst: every window stays (type, m, block)-keyed") {
+    val p = plan(graft.queries.Extended100.queries("e38_hurst")(spark, sf))
+    assert(p.contains("hashpartitioning(event_type"),
+      s"block windows must be keyed:\n$p")
+    assert(!p.contains("SinglePartition") || !p.contains("RunningWindowFunction"),
+      s"no single-partition cumulative window:\n$p")
+  }
+
   test("sparse-fid ingest: no global window in the build plan, fids stay unique") {
     import graft.ingest.GeoJsonIngest
     val dir = Files.createTempDirectory("graft-fidmode")
