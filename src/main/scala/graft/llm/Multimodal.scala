@@ -184,6 +184,58 @@ object Multimodal {
     }(enc)
   }
 
+  val frameDiffSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("sad", LongType),
+    StructField("n_vals", LongType)))
+
+  /** Sum of absolute per-channel differences between two REALLY decoded
+    * frames — the scene-change / static-shot primitive over consecutive
+    * video frames. Input rows carry (media_id, content_a, content_b);
+    * output is the exact integer SAD and the value count w·h·3, so every
+    * downstream ratio is one division. Undecodable content or mismatched
+    * dimensions → the zeros row (the mm4 zeros-on-undecodable contract),
+    * never a poison-pill task failure. Same mapPartitions shape as
+    * [[extractFeatures]]: decoder per partition, no shuffle, no driver.
+    */
+  def frameDiffStats(pairs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(frameDiffSchema)
+    graft.operators.Par.fanOut(pairs.select("media_id", "content_a", "content_b"))
+      .mapPartitions { rows =>
+        def dec(b: Array[Byte]): BufferedImage =
+          if (b == null) null
+          else
+            try ImageIO.read(new ByteArrayInputStream(b))
+            catch { case _: java.io.IOException => null }
+        rows.map { r =>
+          val ia = dec(r.getAs[Array[Byte]]("content_a"))
+          val ib = dec(r.getAs[Array[Byte]]("content_b"))
+          if (ia == null || ib == null || ia.getWidth != ib.getWidth ||
+              ia.getHeight != ib.getHeight)
+            Row(r.getAs[Long]("media_id"), 0, 0, 0L, 0L)
+          else {
+            val w = ia.getWidth; val h = ia.getHeight
+            var sad = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val pa = ia.getRGB(x, y); val pb = ib.getRGB(x, y)
+                sad += math.abs(((pa >> 16) & 0xFF) - ((pb >> 16) & 0xFF)) +
+                  math.abs(((pa >> 8) & 0xFF) - ((pb >> 8) & 0xFF)) +
+                  math.abs((pa & 0xFF) - (pb & 0xFF))
+                x += 1
+              }
+              y += 1
+            }
+            Row(r.getAs[Long]("media_id"), w, h, sad, w.toLong * h * 3)
+          }
+        }
+      }(enc)
+  }
+
   /** Real JDK decode: content bytes → (width, height, channels,
     * [mean, meanR, meanG, meanB] of the decoded pixels, each in [0, 1]).
     * Channel sums are accumulated as longs (exact, order-independent) with
