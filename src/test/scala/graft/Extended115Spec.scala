@@ -17,7 +17,7 @@ class Extended115Spec extends AnyFunSuite {
       .select(col("event_id"), round(col("value") * 100).cast("long"),
         col("user_id") * 400L)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val eps2 = 2000L * 2000L
+    val eps2 = 500L * 500L
     // brute-force O(n²) is affordable at this sf and is the point: the
     // engine's ring join must agree with the unbucketed definition
     val counts = pts.map { a =>

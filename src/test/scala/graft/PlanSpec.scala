@@ -638,6 +638,32 @@ class PlanSpec extends AnyFunSuite {
       s"no single-partition cumulative window:\n$p")
   }
 
+  test("t34 surprisal: train aggregates meet the probe through semi-joins") {
+    val p = plan(graft.queries.Extended112
+      .queries("t34_bigram_surprisal")(spark, sf))
+    // the ≤20-row probe set broadcasts into left_semi prefilters — the
+    // train relation is never shuffled toward a 20-row side
+    assert(p.contains("LeftSemi"), s"probe must prefilter via semi-join:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the probe side must broadcast:\n$p")
+  }
+
+  test("g13 DBSCAN: neighbor pairs come from a keyed ring join, no cartesian") {
+    val p = plan(graft.queries.Extended115
+      .queries("g13_dbscan_core")(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"eps-ball candidates must ride the cell-ring equi-join:\n$p")
+    assert(!p.contains("Window"), s"the census needs no window:\n$p")
+  }
+
+  test("v17 LSH curve: one signature scan, broadcast truth set, no window") {
+    val p = plan(graft.queries.Extended115
+      .queries("v17_lsh_recall_curve")(spark, sf))
+    assert(!p.contains("SortMergeJoin"),
+      s"the 10-row truth set must broadcast:\n$p")
+    assert(!p.contains("Window"), s"membership arithmetic needs no window:\n$p")
+  }
+
   test("sparse-fid ingest: no global window in the build plan, fids stay unique") {
     import graft.ingest.GeoJsonIngest
     val dir = Files.createTempDirectory("graft-fidmode")
