@@ -64,7 +64,8 @@ object ExplainDump {
     "v15_rrf_fusion", "v16_ndcg_mrr", "tp40_brier_decomposition",
     "t34_bigram_surprisal", "r15_modularity", "mm9_frame_diff",
     "a59_friedman_test", "e40_holt_winters", "a60_brown_forsythe",
-    "g13_dbscan_core", "v17_lsh_recall_curve")
+    "g13_dbscan_core", "v17_lsh_recall_curve", "v18_pq_distortion",
+    "a61_two_proportion")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
