@@ -491,6 +491,67 @@ object Multimodal {
     }(enc)
   }
 
+  val energyWindowSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("win", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("sum_sq", LongType),
+    StructField("peak_abs", LongType)))
+
+  /** Channel-0 energy contour from a REAL decode: 16-frame windows, per
+    * window the exact integer Σs² and peak |s| — the VAD / loudness
+    * building block over consecutive audio windows (mm6 measures the
+    * whole clip; this is the windowed view). Undecodable content emits
+    * no rows (the zeros-on-undecodable contract degenerates to an empty
+    * contour). One decoder per partition, rows flat-mapped, no shuffle.
+    */
+  def extractAudioEnergy(media: DataFrame, winFrames: Int = 16): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(energyWindowSchema)
+    graft.operators.Par.fanOut(media.select("media_id", "content"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val content = r.getAs[Array[Byte]]("content")
+          val ais =
+            if (content == null) null
+            else
+              try javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new ByteArrayInputStream(content))
+              catch {
+                case _: javax.sound.sampled.UnsupportedAudioFileException => null
+                case _: java.io.IOException => null
+              }
+          if (ais == null || ais.getFormat.getSampleSizeInBits != 16 ||
+              ais.getFormat.isBigEndian) Iterator.empty
+          else {
+            val ch = ais.getFormat.getChannels
+            val bytes =
+              try ais.readAllBytes()
+              catch { case _: java.io.IOException => Array.empty[Byte] }
+            val frames = bytes.length / (ch * 2)
+            val id = r.getAs[Long]("media_id")
+            (0 until (frames + winFrames - 1) / winFrames).iterator.map { w =>
+              val lo = w * winFrames
+              val hi = math.min(lo + winFrames, frames)
+              var ss = 0L
+              var peak = 0L
+              var f = lo
+              while (f < hi) {
+                // channel 0 of frame f = little-endian sample at byte 2·f·ch
+                val i = f * ch
+                val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff))
+                  .toShort.toLong
+                ss += s * s
+                val a = math.abs(s)
+                if (a > peak) peak = a
+                f += 1
+              }
+              Row(id, w, (hi - lo).toLong, ss, peak)
+            }
+          }
+        }
+      }(enc)
+  }
+
   val tileSumSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),
     StructField("width", IntegerType),
