@@ -66,7 +66,8 @@ object ExplainDump {
     "a59_friedman_test", "e40_holt_winters", "a60_brown_forsythe",
     "g13_dbscan_core", "v17_lsh_recall_curve", "v18_pq_distortion",
     "a61_two_proportion", "t35_textrank_keywords", "a62_bradley_terry",
-    "mm10_audio_energy", "t36_burrows_delta")
+    "mm10_audio_energy", "t36_burrows_delta", "a63_cramer_von_mises",
+    "e41_croston")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
