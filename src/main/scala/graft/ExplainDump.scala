@@ -67,7 +67,8 @@ object ExplainDump {
     "g13_dbscan_core", "v17_lsh_recall_curve", "v18_pq_distortion",
     "a61_two_proportion", "t35_textrank_keywords", "a62_bradley_terry",
     "mm10_audio_energy", "t36_burrows_delta", "a63_cramer_von_mises",
-    "e41_croston", "j31_densest_subgraph")
+    "e41_croston", "j31_densest_subgraph", "tp41_maxlen_sweep",
+    "t37_lang_trigram_distance")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
