@@ -77,6 +77,17 @@ object Bench {
       rs.map { case (k, (med, _, _)) => "\"" + k + "\":" + med }
         .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
+    // streaming-floor guard (VERDICT r8 next-#7): the st block was tuned to
+    // ~20.4 s at sf0.1 and its per-query machinery floor is load-bearing
+    // (multi-wave replays certifying cross-batch state). If the block creeps
+    // past 22 s, flag it IN-ROUND so the regression is hunted while the
+    // change that caused it is still in the diff, not a round later.
+    val stBlock = results.collect {
+      case (n, (med, _, _)) if n.startsWith("st") => med }.sum
+    if (stBlock > 22.0 && only.isEmpty)
+      System.err.println(
+        f"[bench] WARNING streaming block $stBlock%.1f s exceeds the 22 s " +
+          "guard (r7/r8 floor was 20.4 s) — check st* plans before shipping")
     // The driver records only the TAIL of stdout (~2 KB): a line carrying
     // all per-query times is ~12 KB and gets truncated mid-JSON — every
     // prior round's bench artifact came back `parsed: null` for exactly
@@ -100,6 +111,7 @@ object Bench {
         "\"" + k + "\":[" + lo + "," + hi + "]" }.mkString("{", ",", "}")
       val full = s"""{"metric":"total","value":$total,"unit":"sec"""" +
         s""","n_queries":${results.size},"reps":$reps""" +
+        s""","st_block_sec":$stBlock""" +
         s""","calibration_sec":${calibration._1}""" +
         s""","calibration_spread":[${calibration._2},${calibration._3}]""" +
         s""","queries":${qmap(results)},"spread":$spread,"sf":"$sfDir"}"""

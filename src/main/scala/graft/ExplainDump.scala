@@ -61,7 +61,8 @@ object ExplainDump {
     "a52_grubbs", "tp38_coverage_curve", "a53_theil_decomposition",
     "a54_bh_fdr", "t33_heaps_law", "j30_local_bridges",
     "tp39_mixture_temperature", "a55_ljung_box", "a56_kruskal_wallis",
-    "v15_rrf_fusion", "v16_ndcg_mrr", "tp40_brier_decomposition",
+    "v15_rrf_fusion", "v16_ndcg_mrr", "a57_mcnemar", "a58_cochran_q",
+    "tp40_brier_decomposition",
     "t34_bigram_surprisal", "r15_modularity", "mm9_frame_diff",
     "a59_friedman_test", "e40_holt_winters", "a60_brown_forsythe",
     "g13_dbscan_core", "v17_lsh_recall_curve", "v18_pq_distortion",

@@ -521,12 +521,16 @@ object Multimodal {
                 case _: java.io.IOException => null
               }
           if (ais == null || ais.getFormat.getSampleSizeInBits != 16 ||
-              ais.getFormat.isBigEndian) Iterator.empty
+              ais.getFormat.isBigEndian ||
+              ais.getFormat.getChannels <= 0) Iterator.empty
           else {
             val ch = ais.getFormat.getChannels
             val bytes =
               try ais.readAllBytes()
               catch { case _: java.io.IOException => Array.empty[Byte] }
+            // floor division drops any trailing partial frame a truncated
+            // payload leaves, so the channel-0 read below stays in-bounds:
+            // max index 2·(frames−1)·ch+1 ≤ bytes.length−2·ch+1 < length
             val frames = bytes.length / (ch * 2)
             val id = r.getAs[Long]("media_id")
             (0 until (frames + winFrames - 1) / winFrames).iterator.map { w =>

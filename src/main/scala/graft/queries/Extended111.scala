@@ -34,7 +34,7 @@ import graft.Tables.t
   *    exactly for binned forecasts, so the output is self-checking).
   *
   * Scale shape: all three are explode → doc-keyed hash aggregate →
-  * ONE global aggregate (a57/a58) or a ten-row bin summary (tp39);
+  * ONE global aggregate (a57/a58) or a ten-row bin summary (tp40);
   * nothing quadratic, no windows, no driver state.
   *
   * Reference context: no counterpart; extends the evaluation layer
@@ -99,7 +99,7 @@ object Extended111 {
             round(num.cast("double") / den.cast("double"), 6).as("q_stat") })
     }),
 
-    // ---- tp39: Murphy decomposition of the binned Brier score ----
+    // ---- tp40: Murphy decomposition of the binned Brier score ----
     "tp40_brier_decomposition" -> ((s, d) => {
       val sc = Extended62.classifierScores(s, d)
       val p = (col("score") + lit(1.0)) / lit(2.0)

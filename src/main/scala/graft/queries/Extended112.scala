@@ -31,7 +31,7 @@ import graft.route.Components
   *    edge counts come from two label joins on the canonical a<b edge
   *    list, degrees from one union aggregate.
   *
-  * Scale shape: t33 is two explode→hash-aggregate passes (train, eval)
+  * Scale shape: t34 is two explode→hash-aggregate passes (train, eval)
   * plus bounded probe joins; r15 is the LPA fixpoint (one shuffle per
   * round) plus two label equi-joins — no windows, no driver loops
   * (scalars ride 1-row broadcast crosses).
@@ -50,7 +50,7 @@ object Extended112 {
       .cast("long")
 
   val queries: Map[String, Q] = Map(
-    // ---- t33: held-out add-1 bigram surprisal, top-20 eval bigrams ----
+    // ---- t34: held-out add-1 bigram surprisal, top-20 eval bigrams ----
     "t34_bigram_surprisal" -> ((s, d) => {
       val bi = t(s, d, "documents")
         .select(col("doc_id"), inA.as("a"), split(col("text"), " ").as("ws"))

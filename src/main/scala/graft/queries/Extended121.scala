@@ -100,12 +100,20 @@ object Extended121 {
           r += 1
         }
       }
-      val best = trace.maxBy { case (rr, n, m) =>
-        (m.toDouble / n, -rr) } // same doubles both engines; earliest wins
+      // degenerate input (no co-order edges): the oracle's
+      // `WHERE n > 0 ... LIMIT 1` yields zero rows — match it instead of
+      // throwing on trace.maxBy of an empty buffer
+      val rows =
+        if (trace.isEmpty) Seq.empty[(Int, Long, Long, Double)]
+        else {
+          val best = trace.maxBy { case (rr, n, m) =>
+            (m.toDouble / n, -rr) } // same doubles both engines; earliest wins
+          Seq((best._1, best._2, best._3,
+            best._3.toDouble / best._2))
+        }
       // rounding goes through the same catalyst `round` every other
       // query uses, so the display digits cannot drift from DuckDB's
-      s.createDataFrame(Seq((best._1, best._2, best._3,
-          best._3.toDouble / best._2)))
+      s.createDataFrame(rows)
         .toDF("best_round", "n_nodes", "n_edges", "density_raw")
         .select(col("best_round"), col("n_nodes"), col("n_edges"),
           round(col("density_raw"), 6).as("density"))

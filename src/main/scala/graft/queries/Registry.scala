@@ -146,5 +146,14 @@ object Registry {
           .collect { case (k, v) if v.size > 1 => k }.mkString(", "))
     merged
   }
-  def oracleSql: Map[String, String] = providers.map(_._2).reduce(_ ++ _)
+  def oracleSql: Map[String, String] = {
+    val merged = providers.map(_._2).reduce(_ ++ _)
+    // same last-wins hazard as `queries`: a provider redefining another's
+    // oracle key would silently verify the wrong SQL — fail loudly
+    require(merged.size == providers.map(_._2.size).sum,
+      "duplicate oracle key across providers: " +
+        providers.flatMap(_._2.keys).groupBy(identity)
+          .collect { case (k, v) if v.size > 1 => k }.mkString(", "))
+    merged
+  }
 }
