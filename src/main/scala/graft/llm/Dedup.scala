@@ -240,34 +240,64 @@ object Dedup {
       shingleN: Int): (DataFrame, Long, () => Unit) = {
     val sh = graft.operators.Par.fanOut(df)
       .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
-    // global window over the DISTINCT vocabulary only — bounded by the
-    // kernel's 64k-vocab gate (see ngramJaccardTopK), never the corpus
-    val vocab = sh.select(explode(col("sh")).as("s")).distinct()
-      .select(col("s"), (row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("s")) - 1).as("sid"))
-      .cache()
-    val vocabSize = vocab.count()
+    // Every bitset consumer gates on a ≤64k vocabulary, so the dictionary
+    // is driver-bounded BY CONSTRUCTION: collect at most gate+1 distinct
+    // shingles (seeing the +1 row proves "over the gate" without
+    // materializing more — same trick as ngramJaccardTopK's doc gate),
+    // sort driver-side, broadcast a String→index map. This replaces the
+    // previous distinct → single-partition row_number window → cache →
+    // broadcast join → groupBy(collect_list) pipeline: one bounded job
+    // plus one ZERO-shuffle UDF pass. Jaccard is invariant to the
+    // dictionary's index permutation, so the driver-side sort only needs
+    // to be deterministic, not collation-identical to Spark's orderBy.
+    val overGate = 65537
+    val vocabArr = sh.select(explode(col("sh")).as("s")).distinct()
+      .limit(overGate).collect().map(_.getString(0)).sorted
+    val vocabSize = vocabArr.length.toLong
+    val spark = df.sparkSession
+    if (vocabSize == 0L || vocabSize >= overGate) {
+      // over the kernel gate (or empty corpus): callers check vocabSize
+      // and fall back to the inverted-index path before evaluating docBits
+      val emptySchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", df.schema(idCol).dataType),
+        org.apache.spark.sql.types.StructField("bits",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.IntegerType)))
+      val empty = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), emptySchema)
+      return (empty, vocabSize, () => ())
+    }
     val width = math.max(((vocabSize + 63) / 64).toInt, 1)
-
-    val toBits = udf((ids: Seq[Int], w: Int) => {
-      val arr = new Array[Long](w)
-      ids.foreach(i => arr(i / 64) |= (1L << (i % 64)))
+    val bcIndex = spark.sparkContext.broadcast(vocabArr.zipWithIndex.toMap)
+    val toBits = udf((shs: Seq[String]) => {
+      val m = bcIndex.value
+      val arr = new Array[Long](width)
+      shs.foreach { s =>
+        val i = m(s) // total: the dictionary was collected without limit
+        arr(i / 64) |= (1L << (i % 64))
+      }
       arr
     })
-    val docBits = sh.select(col("id"), explode(col("sh")).as("s"))
-      .join(broadcast(vocab), "s")
-      .groupBy("id").agg(collect_list(col("sid")).as("sids"))
-      .select(col("id"), toBits(col("sids"), lit(width)).as("bits"),
-        size(col("sids")).as("n"))
-    (docBits, vocabSize, () => { vocab.unpersist(); () })
+    // shingles() is array_distinct, so |sh| IS the shingle-set size the
+    // jaccard denominator needs; empty-set docs intersect nothing and are
+    // dropped exactly as the old explode-based plan dropped them
+    val docBits = sh.filter(size(col("sh")) > 0)
+      .select(col("id"), toBits(col("sh")).as("bits"),
+        size(col("sh")).as("n"))
+    (docBits, vocabSize, () => { bcIndex.unpersist(); () })
   }
 
   def ngramJaccardPairsBitset(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 2): DataFrame = {
-    // the lazy result keeps the vocab cache alive; pairs callers evaluate
-    // once and the cache is re-derivable, so release is left to Spark's
-    // LRU here (the eager topK path below releases explicitly)
-    val (docBits, _, _) = docBitsets(df, idCol, textCol, shingleN)
+    // the lazy result keeps the vocab broadcast alive; pairs callers
+    // evaluate once and it is re-derivable, so release is left to Spark
+    // here (the eager topK path below releases explicitly)
+    val (docBits, vocabSize, _) = docBitsets(df, idCol, textCol, shingleN)
+    require(vocabSize <= 65536,
+      s"bitset path requires a dictionary-encodable vocabulary (≤ 64k " +
+        s"distinct shingles), got over $vocabSize — dispatch through " +
+        "ngramJaccardPairs or use ngramJaccardPairsInverted")
     val a = docBits.select(col("id").as("a"), col("bits").as("ba"), col("n").as("na"))
     val b = docBits.select(col("id").as("b"), col("bits").as("bb"), col("n").as("nb"))
     a.crossJoin(b).filter(col("a") < col("b"))
@@ -340,11 +370,36 @@ object Dedup {
     // dense doc index, ordered by id so index order == id order (the heap's
     // tie-break on (ia, ib) then matches the caller-visible (a, b) order);
     // everything below is collected in this one pass, so no cache survives
-    // the call (repeated invocations must not accumulate executor memory)
-    val rows = docBits
-      .withColumn("idx", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("id")) - 1)
-      .select("idx", "bits", "n", "id").collect()
+    // the call (repeated invocations must not accumulate executor memory).
+    // For integral ids the index is assigned by a DRIVER-side sort of the
+    // collected rows (one shuffle + single-partition window stage fewer);
+    // other id types keep the window, whose ordering is Spark-collation
+    // exact (driver String sort differs from UTF8String order on
+    // non-ASCII, so strings are NOT fast-pathed).
+    val integralId = idType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    val rows =
+      if (integralId) {
+        val collected = docBits.select("bits", "n", "id").collect()
+        val sorted = collected.sortBy(r => r.get(2) match {
+          case l: Long => l
+          case i: Int => i.toLong
+          case sh: Short => sh.toLong
+          case b: Byte => b.toLong
+          case null => Long.MinValue // Spark orderBy default: nulls first
+        })
+        sorted.iterator.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row(i, r.get(0), r.get(1), r.get(2))
+        }.toArray
+      } else docBits
+        .withColumn("idx", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("id")) - 1)
+        .select("idx", "bits", "n", "id").collect()
     releaseVocab()
     val n = rows.length
     if (n < 2) return spark.createDataFrame(
