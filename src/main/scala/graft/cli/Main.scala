@@ -299,6 +299,33 @@ object Main {
       }
       res.show(k.toInt, truncate = false)
 
+    // DBSCAN-census scale smoke: a deterministic CONSTANT-DENSITY point
+    // cloud (area grows with N, ~perCell points per eps-cell, so the
+    // ring-candidate count grows LINEARLY in N) runs the full
+    // Spatial.dbscanCensus path at whatever point count the caller asks.
+    // The claim under test is SCALING.md's "cost tracks Σ n_cell², not
+    // N²": with density held constant the printed candidates column must
+    // grow ~2× per 2× points and wall must follow it, not N². Usage:
+    //   dbscan-smoke N [perCell]
+    case "dbscan-smoke" :: n :: rest =>
+      import org.apache.spark.sql.functions._
+      val nPts = n.toLong
+      val perCell = rest.headOption.map(_.toDouble).getOrElse(8.0)
+      val eps = 500L
+      val wCells = math.max(1L, math.ceil(math.sqrt(nPts / perCell)).toLong)
+      val w = wCells * eps
+      val pts = spark.range(nPts).select(col("id").as("pid"),
+        pmod(xxhash64(col("id"), lit(1)), lit(w)).as("xc"),
+        pmod(xxhash64(col("id"), lit(2)), lit(w)).as("yc"))
+      val cand = graft.spatial.Spatial.ringCandidateCount(pts, "xc", "yc", eps)
+      val t0 = System.nanoTime()
+      val row = graft.spatial.Spatial.dbscanCensus(pts, "pid", "xc", "yc",
+        eps, 4L).head()
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"dbscan-smoke: points=$nPts cells=${wCells * wCells} " +
+        f"candidates=$cand core=${row.getLong(3)} " +
+        f"border=${row.getLong(4)} noise=${row.getLong(5)} wall=$wall%.1fs")
+
     // stored-ANN scale smoke: a deterministic synthetic corpus (16
     // planted cluster directions + splitmix-style jitter, reproducible
     // from the seed) runs the FULL build-index → write-partitioned-table

@@ -49,47 +49,15 @@ object Extended115 {
 
   val queries: Map[String, Q] = Map(
     // ---- g13: DBSCAN core/border/noise census via cell-ring join ----
+    // (the census itself lives in Spatial.dbscanCensus since round 9,
+    // behind the hard ring-candidate budget guard; same plan, same rows)
     "g13_dbscan_core" -> ((s, d) => {
       val pts = t(s, d, "events")
         .select(col("event_id"),
           round(col("value") * 100).cast("long").as("xc"),
           (col("user_id") * 400L).as("yc"))
-        .withColumn("cx", expr(s"xc div $EpsCents"))
-        .withColumn("cy", expr(s"yc div $EpsCents"))
-      val ring = pts.select(col("event_id").as("ai"), col("xc").as("ax"),
-          col("yc").as("ay"),
-          explode(expr("transform(sequence(0, 8), " +
-            "i -> struct(cx + i div 3 - 1 AS rx, cy + i % 3 - 1 AS ry))"))
-            .as("r"))
-        .select(col("ai"), col("ax"), col("ay"),
-          col("r.rx").as("cx"), col("r.ry").as("cy"))
-      // materialize the neighbor relation once: core needs its counts,
-      // border re-reads it against the core set — without the checkpoint
-      // the ring join would re-execute for every downstream aggregate
-      // (measured 13.2 s → ~2 s at sf0.1). At cluster scale this is the
-      // standard DBSCAN adjacency materialization.
-      val nbr = ring.join(pts.select(col("event_id").as("bi"),
-            col("xc").as("bx"), col("yc").as("by"), col("cx"), col("cy")),
-          Seq("cx", "cy"))
-        .filter((col("ax") - col("bx")) * (col("ax") - col("bx")) +
-          (col("ay") - col("by")) * (col("ay") - col("by")) <=
-          lit(EpsCents * EpsCents))
-        .select("ai", "bi")
-        .localCheckpoint()
-      val core = nbr.groupBy("ai").agg(count(lit(1)).as("n"))
-        .filter(col("n") >= MinPts).select(col("ai"))
-        .localCheckpoint()
-      val border = nbr
-        .join(core.withColumnRenamed("ai", "bi"), Seq("bi"), "left_semi")
-        .select("ai").distinct()
-        .join(core, Seq("ai"), "left_anti")
-      val nPts = pts.agg(count(lit(1)).as("n_points"))
-      val nCore = core.agg(count(lit(1)).as("n_core"))
-      val nBorder = border.agg(count(lit(1)).as("n_border"))
-      nPts.crossJoin(nCore).crossJoin(nBorder)
-        .select(lit(EpsCents).as("eps_cents"), lit(MinPts).as("min_pts"),
-          col("n_points"), col("n_core"), col("n_border"),
-          (col("n_points") - col("n_core") - col("n_border")).as("n_noise"))
+      graft.spatial.Spatial.dbscanCensus(pts, "event_id", "xc", "yc",
+        EpsCents, MinPts)
     }),
 
     // ---- v17: LSH recall@10 vs signature width ----

@@ -41,6 +41,25 @@ class Extended115Spec extends AnyFunSuite {
       .count(_ > 0L) >= 2)
   }
 
+  test("dbscanCensus ring-candidate budget guard fails loudly when the " +
+      "eps/density parameterization would blow up the ring join") {
+    import spark.implicits._
+    // 100 points in ONE cell → 100·100 ring candidates through the 3×3
+    // ring — a budget below that must refuse before paying the join
+    val pts = (0L until 100L).map(i => (i, i % 10, i / 10)).toDF("id", "x", "y")
+    val cand = graft.spatial.Spatial.ringCandidateCount(pts, "x", "y", 500L)
+    assert(cand == 100L * 100L)
+    val e = intercept[IllegalArgumentException] {
+      graft.spatial.Spatial.dbscanCensus(pts, "id", "x", "y", 500L, 4L,
+        maxRingCandidates = 9999L)
+    }
+    assert(e.getMessage.contains("ring-candidate"))
+    // and the same census under an adequate budget still runs
+    val ok = graft.spatial.Spatial.dbscanCensus(pts, "id", "x", "y", 500L, 4L)
+      .collect().head
+    assert(ok.getLong(2) == 100L && ok.getLong(3) == 100L)
+  }
+
   test("v17 recall curve is prefix-consistent and matches brute membership") {
     val got = graft.queries.Extended115
       .queries("v17_lsh_recall_curve")(spark, d)
