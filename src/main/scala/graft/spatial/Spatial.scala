@@ -247,13 +247,25 @@ object Spatial {
         lit(epsCents * epsCents))
       .select("ai", "bi")
       .localCheckpoint()
-    val core = nbr.groupBy("ai").agg(count(lit(1)).as("n"))
-      .filter(col("n") >= minPts).select(col("ai"))
+    // every point neighbors at least itself (own cell, distance 0), so
+    // deg covers all points and core/nonCore partition p exactly
+    val deg = nbr.groupBy("ai").agg(count(lit(1)).as("n")).localCheckpoint()
+    val core = deg.filter(col("n") >= minPts).select(col("ai"))
+    val nonCore = deg.filter(col("n") < minPts).select(col("ai"))
       .localCheckpoint()
+    // border = non-core points with a core neighbor, phrased against the
+    // COMPLEMENT: bi ∈ core ⟺ bi ∉ nonCore (the partition above). The
+    // former core semi-join keyed the FULL adjacency by bi — a shuffle of
+    // the largest relation in the plan; against nonCore (checkpointed, so
+    // its true size is known) the planner broadcasts both probes in the
+    // dense regime and border costs one shuffle-free nbr scan. In the
+    // sparse regime nonCore is large and the planner falls back to the
+    // same sort-merge shape as before — never worse, shuffle-free when it
+    // matters.
     val border = nbr
-      .join(core.withColumnRenamed("ai", "bi"), Seq("bi"), "left_semi")
+      .join(nonCore, Seq("ai"), "left_semi")
+      .join(nonCore.withColumnRenamed("ai", "bi"), Seq("bi"), "left_anti")
       .select("ai").distinct()
-      .join(core, Seq("ai"), "left_anti")
     val nPts = p.agg(count(lit(1)).as("n_points"))
     val nCore = core.agg(count(lit(1)).as("n_core"))
     val nBorder = border.agg(count(lit(1)).as("n_border"))
