@@ -299,6 +299,48 @@ object Main {
       }
       res.show(k.toInt, truncate = false)
 
+    // Inverted-index Jaccard scale smoke: the striped-bitset kernel is
+    // gated to <=200k docs / <=64k vocab, so at corpus scale exact top-k
+    // Jaccard runs through ngramJaccardPairsInverted — a path the
+    // registry's small-vocab synthetic corpus never exercises at size.
+    // This smoke forces it (maxKernelDocs = 0) on a deterministic corpus
+    // with an N-PROPORTIONAL vocabulary (the realistic big-corpus shape:
+    // huge vocab, bounded per-shingle document frequency), plants two
+    // near-dup docs per 100, and prints the inverted join's true cost
+    // driver — Σ df² over shingles (the pair-relation row count) — next
+    // to wall time, so the linear-when-df-is-bounded claim is checkable.
+    // Usage: jaccard-smoke N [k]
+    case "jaccard-smoke" :: n :: rest =>
+      import org.apache.spark.sql.functions._
+      val nDocs = n.toLong
+      val k = rest.headOption.map(_.toInt).getOrElse(20)
+      val vocabN = nDocs * 5
+      val docs = spark.range(nDocs).select(col("id").as("doc_id"))
+        .withColumn("_g", (col("doc_id") / 100).cast("long"))
+        .withColumn("_j", pmod(col("doc_id"), lit(100)))
+        .withColumn("_seed",
+          when(col("_j") < 2, col("_g") * 1000)
+            .otherwise(col("doc_id") + 1000000000L))
+        .withColumn("text", expr(
+          s"""concat_ws(' ', transform(sequence(0, 39),
+               x -> concat('w', pmod(xxhash64(_seed, x), $vocabN))))"""))
+        .withColumn("text",
+          when(col("_j") === 1, concat(col("text"), lit(" zzextra")))
+            .otherwise(col("text")))
+        .select("doc_id", "text")
+      val dfWork = docs
+        .select(explode(graft.llm.Dedup.shingles(col("text"), 2)).as("s"))
+        .groupBy("s").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c"))).head().getLong(0)
+      val t0 = System.nanoTime()
+      val top = graft.llm.Dedup.ngramJaccardTopK(docs, "doc_id", "text", k,
+          2, maxKernelDocs = 0).collect()
+      val wall = (System.nanoTime() - t0) / 1e9
+      // every planted pair shares 38 of (39, 40) bigrams: jaccard ≈ 0.927
+      val planted = top.count(_.getDouble(2) > 0.9)
+      println(f"jaccard-smoke: docs=$nDocs vocab~$vocabN dfwork=$dfWork " +
+        f"topk=${top.length} planted=$planted wall=$wall%.1fs")
+
     // DBSCAN-census scale smoke: a deterministic CONSTANT-DENSITY point
     // cloud (area grows with N, ~perCell points per eps-cell, so the
     // ring-candidate count grows LINEARLY in N) runs the full
