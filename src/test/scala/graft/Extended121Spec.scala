@@ -47,4 +47,22 @@ class Extended121Spec extends AnyFunSuite {
       "best density must not be worse than round 0")
     assert(nNodes > 0 && nEdges > 0)
   }
+
+  test("j31 degenerate input: empty lineitem yields zero rows (matches " +
+      "the oracle's WHERE n > 0), not a NoSuchElementException") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-j31-empty")
+    try {
+      Tables.t(spark, d, "lineitem").limit(0)
+        .write.parquet(s"$tmp/lineitem.parquet")
+      val out = graft.queries.Extended121
+        .queries("j31_densest_subgraph")(spark, tmp.toString)
+      assert(out.columns.toSeq ==
+        Seq("best_round", "n_nodes", "n_edges", "density"))
+      assert(out.count() == 0L)
+    } finally {
+      graft.store.GraphPackage.walkTree(tmp)(
+        _.toSeq.sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_)))
+    }
+  }
 }
