@@ -1,6 +1,40 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Streaming-floor guard predicate, load-normalized (VERDICT r9 next-#1).
+    *
+    * The old guard was `stBlock > 22 s`, an absolute threshold on a SHARED
+    * host — it fired in the driver's r9 run (24.4 s) and 2 of 3 builder
+    * runs on pure ambient load (zero streaming code had changed; every st
+    * query sat inside its own rep spread). A guard that cries wolf on
+    * weather gets ignored the round a real regression lands, so this one
+    * requires BOTH:
+    *   - the absolute floor: stBlock > 22 s (quiet-window floor is ~20.4 s,
+    *     r7/r8), AND
+    *   - the load-normalized check: stBlock / (total − stBlock) > 0.125.
+    *     Host load inflates the whole sweep roughly uniformly (r9 evidence:
+    *     driver-run inflations hit st*, r1, r12 alike), so the st share of
+    *     the run is load-invariant: 0.098 in r8-quiet, 0.108 in the
+    *     r9-loaded driver run. A uniformly slow run keeps the share in
+    *     that band and does NOT fire; a genuine st-only regression (2× ⇒
+    *     share ~0.20) fires immediately.
+    * A regression in the NON-st queries would shrink the share and could
+    * mask a smaller simultaneous st regression — that case is covered by
+    * tools/bench_delta.py's per-query spread bands, not this guard.
+    * Returns the warning text to print, or None.
+    */
+  private[graft] def stGuardWarning(stBlock: Double,
+      totalAll: Double): Option[String] = {
+    val nonSt = totalAll - stBlock
+    val share = if (nonSt > 0) stBlock / nonSt else Double.PositiveInfinity
+    if (stBlock > 22.0 && share > 0.125)
+      Some(f"[bench] WARNING streaming block $stBlock%.1f s is " +
+        f"${share * 100}%.1f%% of the non-st total $nonSt%.1f s — outside " +
+        "the r8/r9 load-invariant band (9.8–10.8%) AND past the 22 s " +
+        "floor: this is an st-specific regression, not host weather — " +
+        "check st* plans before shipping")
+    else None
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -77,17 +111,14 @@ object Bench {
       rs.map { case (k, (med, _, _)) => "\"" + k + "\":" + med }
         .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
-    // streaming-floor guard (VERDICT r8 next-#7): the st block was tuned to
-    // ~20.4 s at sf0.1 and its per-query machinery floor is load-bearing
-    // (multi-wave replays certifying cross-batch state). If the block creeps
-    // past 22 s, flag it IN-ROUND so the regression is hunted while the
-    // change that caused it is still in the diff, not a round later.
+    // streaming-floor guard (VERDICT r8 next-#7, load-normalized per r9
+    // next-#1 — see stGuardWarning above): flag an st-SPECIFIC regression
+    // in-round, while the change that caused it is still in the diff,
+    // without firing on shared-host weather that inflates the whole sweep.
     val stBlock = results.collect {
       case (n, (med, _, _)) if n.startsWith("st") => med }.sum
-    if (stBlock > 22.0 && only.isEmpty)
-      System.err.println(
-        f"[bench] WARNING streaming block $stBlock%.1f s exceeds the 22 s " +
-          "guard (r7/r8 floor was 20.4 s) — check st* plans before shipping")
+    if (only.isEmpty)
+      stGuardWarning(stBlock, total).foreach(System.err.println)
     // The driver records only the TAIL of stdout (~2 KB): a line carrying
     // all per-query times is ~12 KB and gets truncated mid-JSON — every
     // prior round's bench artifact came back `parsed: null` for exactly

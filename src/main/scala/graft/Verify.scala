@@ -101,8 +101,17 @@ object Verify {
       val fields = back.schema.fields.sortBy(_.name)
       val colSig = fields.map(f => f.name + ":" + f.dataType.simpleString)
         .mkString(",")
+      // escape \ | and NUL inside cell values before joining, so a cell
+      // containing the separator (or a literal NUL, the null sentinel)
+      // cannot make two distinct rows collide (ADVICE r9). Cells free of
+      // those characters hash exactly as before, keeping the attest
+      // diffable across this change for the vast majority of queries
+      // (the regenerated baseline notes the exceptions).
       val rowStr = concat_ws("|", fields.toIndexedSeq.map(f =>
-        coalesce(col(f.name).cast("string"), lit("\u0000"))): _*)
+        coalesce(
+          regexp_replace(col(f.name).cast("string"),
+            "[\\\\|\u0000]", "\\\\$0"),
+          lit("\u0000"))): _*)
       val agg = back.select(xxhash64(rowStr).as("h"))
         .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x"),
           sum(col("h").cast("decimal(38,0)")).as("s")).head()
@@ -127,11 +136,23 @@ object Verify {
             Tables.sessionConfigs.foreach { case (k, v) => s.conf.set(k, v) }
             s.conf.set("spark.sql.shuffle.partitions", cpus)
             fn(s, sfDir).write.mode("overwrite").parquet(s"$outDir/$name")
-            val (rows, xor, summ, cols) = attest(s, s"$outDir/$name")
-            attests.put(name,
-              s"""{"rows": $rows, "xor64": ${q(xor)}, "sum64": ${q(summ)}, "cols": ${q(cols)}}""")
-            val sec = (System.nanoTime() - t0) / 1e9
-            logLine(f"""{"name": ${q(name)}, "ok": true, "sec": $sec%.3f, "rows": $rows, "xor64": ${q(xor)}}""")
+            // the attest re-read is evidence infrastructure, not the
+            // query: if it fails the parquet the driver scores was still
+            // written, so keep ok:true, don't touch `failures`, and record
+            // an attest-specific error instead (ADVICE r9)
+            try {
+              val (rows, xor, summ, cols) = attest(s, s"$outDir/$name")
+              attests.put(name,
+                s"""{"rows": $rows, "xor64": ${q(xor)}, "sum64": ${q(summ)}, "cols": ${q(cols)}}""")
+              val sec = (System.nanoTime() - t0) / 1e9
+              logLine(f"""{"name": ${q(name)}, "ok": true, "sec": $sec%.3f, "rows": $rows, "xor64": ${q(xor)}}""")
+            } catch { case ae: Throwable =>
+              val amsg = Option(ae.getMessage).getOrElse(ae.getClass.getName)
+              System.err.println(s"[verify] $name attest failed (query itself ok): $amsg")
+              attests.put(name, s"""{"attest_err": ${q(amsg.take(300))}}""")
+              val sec = (System.nanoTime() - t0) / 1e9
+              logLine(f"""{"name": ${q(name)}, "ok": true, "sec": $sec%.3f, "attest_err": ${q(amsg.take(300))}}""")
+            }
           } catch { case e: Throwable =>
             failures.incrementAndGet()
             val sec = (System.nanoTime() - t0) / 1e9

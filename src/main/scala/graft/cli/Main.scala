@@ -427,6 +427,91 @@ object Main {
         f"query=$tQuery%.2fs exact=$tExact%.2fs recall@10=$recall%.2f " +
         f"scanned=${scanned * 100.0 / total}%.0f%% of ${total >> 20}MB")
 
+    // Media-codec scale smoke (VERDICT r9 next-#6a): N synthetic PNGs and
+    // N synthetic WAVs (the registry's real-JDK-codec corpus shape) are
+    // materialized to parquet ONCE, then the decode passes
+    // (extractFeatures / extractAudioDsp — mapPartitions, zero shuffle)
+    // are timed over the stored bytes. The claim under test is that
+    // decode wall is CORPUS-LINEAR (constant blobs/s and MB/s as N
+    // doubles) — the per-MB decode rate printed here is the number a
+    // 100 TB multimodal ingest plan actually budgets with. Results are
+    // reduced with a distributed aggregate (no per-media collect).
+    // Usage: media-smoke N
+    case "media-smoke" :: n :: Nil =>
+      import org.apache.spark.sql.functions._
+      import graft.llm.Multimodal
+      val nMedia = n.toLong
+      val base = spark.range(nMedia).select(col("id").as("media_id"))
+      val tmp = Files.createTempDirectory("graft-media-smoke")
+      val imgPath = tmp.resolve("img").toString
+      val wavPath = tmp.resolve("wav").toString
+      Multimodal.synthesizeImages(base, "media_id")
+        .write.mode("overwrite").parquet(imgPath)
+      Multimodal.synthesizeAudio(base, "media_id")
+        .write.mode("overwrite").parquet(wavPath)
+      val img = spark.read.parquet(imgPath)
+      val wav = spark.read.parquet(wavPath)
+      val imgBytes = img.agg(sum(length(col("content")))).head.getLong(0)
+      val wavBytes = wav.agg(sum(length(col("content")))).head.getLong(0)
+      def timeIt(body: => Long): (Long, Double) = {
+        val t0 = System.nanoTime()
+        val chk = body
+        (chk, (System.nanoTime() - t0) / 1e9)
+      }
+      val (imgN, tImg) = timeIt(
+        Multimodal.extractFeatures(img)
+          .agg(count(lit(1)), sum(col("width") * col("height"))).head.getLong(0))
+      val (wavN, tWav) = timeIt(
+        Multimodal.extractAudioDsp(wav)
+          .agg(count(lit(1)), sum(col("n_frames"))).head.getLong(0))
+      println(f"media-smoke: media=$nMedia " +
+        f"png[${imgBytes / 1048576.0}%.1fMB decoded=$imgN wall=$tImg%.1fs " +
+        f"${imgN / tImg}%.0f blobs/s ${imgBytes / 1e6 / tImg}%.1f MB/s] " +
+        f"wav[${wavBytes / 1048576.0}%.1fMB decoded=$wavN wall=$tWav%.1fs " +
+        f"${wavN / tWav}%.0f blobs/s ${wavBytes / 1e6 / tWav}%.1f MB/s]")
+
+    // Graph-fixpoint scale smoke (VERDICT r9 next-#6b): a deterministic
+    // constant-out-degree-2 doubling graph (i → 2i mod N, 2i+1 mod N;
+    // |E| = 2N, shortest-path depth ~ log2 N) runs batched Brandes
+    // betweenness from a FIXED 64-source sample with the local-dispatch
+    // gate forced off (maxLocalEdges = 0 — the distributed Pregel path is
+    // what must scale) plus bounded-iteration HITS. The claim under test:
+    // wall grows with |E| · supersteps (≈ 2N · log2 N for Brandes' two
+    // phases, 2N · iters for HITS), never with N² or sources ×
+    // supersteps — the ≤64-source batching pays TWO fixpoints for the
+    // whole sample, which is what the printed per-(|E|·depth) rate holds
+    // constant as N doubles. Usage: centrality-smoke N [nSources]
+    case "centrality-smoke" :: n :: rest =>
+      import org.apache.spark.sql.functions._
+      val nNodes = n.toLong
+      val nSrc = rest.headOption.map(_.toInt).getOrElse(64)
+      val depth = math.ceil(math.log(nNodes.toDouble) / math.log(2)).toLong
+      val edges = spark.range(nNodes)
+        .select(col("id"), explode(array(
+          pmod(col("id") * 2, lit(nNodes)),
+          pmod(col("id") * 2 + 1, lit(nNodes)))).as("dstId"))
+        .select(concat(lit("n"), col("id")).as("_u"),
+          concat(lit("n"), col("dstId")).as("_v"), lit(1.0).as("w"))
+      val nodes = spark.range(nNodes)
+        .select(concat(lit("n"), col("id")).as("_n"))
+      val g = new PropertyGraph(nodes, edges)
+      val sources = (0L until math.min(nSrc.toLong, nNodes)).map(i => s"n$i")
+      val t0 = System.nanoTime()
+      val btw = Route.betweenness(spark, g, sources, "w", maxLocalEdges = 0L)
+        .agg(count(lit(1)).as("n"), sum(col("betweenness")).as("mass")).head
+      val tBtw = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val hits = graft.route.Hits.hits(spark,
+          edges.select(col("_u").as("src"), col("_v").as("dst")), 3)
+        .agg(count(lit(1)).as("n"), sum(col("auth")).as("auth")).head
+      val tHits = (System.nanoTime() - t1) / 1e9
+      val eCount = 2L * nNodes
+      println(f"centrality-smoke: nodes=$nNodes edges=$eCount depth~$depth " +
+        f"sources=${sources.size} btw[wall=$tBtw%.1fs scored=${btw.getLong(0)} " +
+        f"mass=${btw.getDouble(1)}%.1f ${tBtw * 1e9 / (eCount * 2 * depth)}%.1f ns/(edge·step)] " +
+        f"hits[wall=$tHits%.1fs nodes=${hits.getLong(0)} " +
+        f"${tHits * 1e9 / (eCount * 3)}%.1f ns/(edge·iter)]")
+
     // fixed-iteration DataFrame PageRank (dangling mass dropped)
     case "pagerank" :: pkg :: iters :: Nil =>
       import org.apache.spark.sql.functions.{col, xxhash64}
@@ -459,6 +544,8 @@ object Main {
           |  ann-topk <embeddings.parquet> <index> <queryVecId> <k>
           |  compact-index <indexedTable>
           |  ann-smoke <nVectors> [dim]
+          |  media-smoke <nMedia>
+          |  centrality-smoke <nNodes> [nSources]
           |  pagerank <pkg> <iters>
           |  export-gpkg <pkg> <out.gpkg>
           |  import-gpkg <in.gpkg>

@@ -274,8 +274,19 @@ object Dedup {
       val m = bcIndex.value
       val arr = new Array[Long](width)
       shs.foreach { s =>
-        val i = m(s) // total: the dictionary was collected without limit
-        arr(i / 64) |= (1L << (i % 64))
+        // the dictionary job and this pass re-evaluate the same source
+        // plan; a shingle absent from the map means the input is
+        // non-deterministic (rand()/sample()/a source that changed
+        // between jobs) — fail with the contract spelled out instead of
+        // a bare NoSuchElementException (ADVICE r9)
+        m.get(s) match {
+          case Some(i) => arr(i / 64) |= (1L << (i % 64))
+          case None => throw new IllegalArgumentException(
+            s"shingle '$s' is missing from the collected dictionary: " +
+              "docBitsets re-evaluates its input plan, so the input must " +
+              "be deterministic across jobs (no rand()/sample()/mutating " +
+              "source) — materialize it first (e.g. localCheckpoint)")
+        }
       }
       arr
     })

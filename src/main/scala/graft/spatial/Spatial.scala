@@ -262,7 +262,12 @@ object Spatial {
     // sparse regime nonCore is large and the planner falls back to the
     // same sort-merge shape as before — never worse, shuffle-free when it
     // matters.
+    // null never matches in a left_anti join, so a null-id neighbor would
+    // otherwise count as "not non-core" = core and misclassify its point
+    // as border; dropping null bi restores the former core semi-join's
+    // semantics (null-id rows carried no core evidence there either)
     val border = nbr
+      .filter(col("bi").isNotNull)
       .join(nonCore, Seq("ai"), "left_semi")
       .join(nonCore.withColumnRenamed("ai", "bi"), Seq("bi"), "left_anti")
       .select("ai").distinct()
