@@ -42,8 +42,26 @@ object Tables {
     * sane shuffle parallelism are set by the callers; these are the
     * semantics-critical ones).
     */
-  val sessionConfigs: Map[String, String] = Map(
+  /** Session-RESETTABLE configs: safe to re-apply on `spark.newSession()`
+    * clones (Verify's per-worker sessions). Static SparkContext configs
+    * live in [[sessionConfigs]] only — setting one on a live session
+    * throws CANNOT_MODIFY_CONFIG.
+    */
+  val sessionRuntimeConfigs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.adaptive.enabled" -> "true")
+
+  /** Builder-time config every entry point needs (applied once before the
+    * SparkContext exists).
+    */
+  val sessionConfigs: Map[String, String] = sessionRuntimeConfigs ++ Map(
+    // Kryo for RDD/GraphX shuffle payloads (SQL uses UnsafeRow and is
+    // unaffected): the graph fixpoints ship per-vertex state maps as
+    // messages every superstep, and Java serialization of those maps was
+    // the dominant constant in batched Brandes (round-10 A/B on the
+    // centrality smoke at 2k nodes × 64 sources: 71.3 s → 43.0 s wall).
+    // Values-only results are serializer-invariant; SQL/streaming paths
+    // use their own encoders. STATIC — builder-time only.
+    "spark.serializer" -> "org.apache.spark.serializer.KryoSerializer")
 }

@@ -133,7 +133,9 @@ object Verify {
           val t0 = System.nanoTime()
           try {
             val s = spark.newSession()
-            Tables.sessionConfigs.foreach { case (k, v) => s.conf.set(k, v) }
+            // runtime-settable subset only: static configs (spark.serializer)
+            // are builder-time and already inherited from the parent context
+            Tables.sessionRuntimeConfigs.foreach { case (k, v) => s.conf.set(k, v) }
             s.conf.set("spark.sql.shuffle.partitions", cpus)
             fn(s, sfDir).write.mode("overwrite").parquet(s"$outDir/$name")
             // the attest re-read is evidence infrastructure, not the

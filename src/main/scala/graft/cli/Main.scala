@@ -471,25 +471,30 @@ object Main {
         f"${wavN / tWav}%.0f blobs/s ${wavBytes / 1e6 / tWav}%.1f MB/s]")
 
     // Graph-fixpoint scale smoke (VERDICT r9 next-#6b): a deterministic
-    // constant-out-degree-2 doubling graph (i → 2i mod N, 2i+1 mod N;
-    // |E| = 2N, shortest-path depth ~ log2 N) runs batched Brandes
-    // betweenness from a FIXED 64-source sample with the local-dispatch
+    // constant-out-degree-4 doubling graph (i → 4i+c mod N, c ∈ 0..3;
+    // |E| = 4N, shortest-path depth ≈ log4 N) runs batched Brandes
+    // betweenness from a FIXED source sample with the local-dispatch
     // gate forced off (maxLocalEdges = 0 — the distributed Pregel path is
     // what must scale) plus bounded-iteration HITS. The claim under test:
-    // wall grows with |E| · supersteps (≈ 2N · log2 N for Brandes' two
-    // phases, 2N · iters for HITS), never with N² or sources ×
-    // supersteps — the ≤64-source batching pays TWO fixpoints for the
-    // whole sample, which is what the printed per-(|E|·depth) rate holds
-    // constant as N doubles. Usage: centrality-smoke N [nSources]
+    // wall grows with |E| · supersteps (≈ 4N · log4 N for Brandes' two
+    // phases, 4N · iters for HITS), never with N² or sources ×
+    // supersteps — the ≤64-source batching pays ceil(k/64) fixpoint
+    // PAIRS for the whole sample (run the same N at 64 and 128 sources:
+    // wall should ~double, not ×64/×128), and the printed
+    // per-(|E|·depth) rate is what must hold ~constant as N doubles.
+    // Degree 4 (not 2) keeps supersteps — the barrier count, the
+    // cluster-scale cost — low while the per-step message volume carries
+    // the |E| scaling; a fixpoint's wall here is rounds × (|E| ×
+    // batch-size map entries serialized), exactly the 1000-executor
+    // shape. Usage: centrality-smoke N [nSources]
     case "centrality-smoke" :: n :: rest =>
       import org.apache.spark.sql.functions._
       val nNodes = n.toLong
       val nSrc = rest.headOption.map(_.toInt).getOrElse(64)
-      val depth = math.ceil(math.log(nNodes.toDouble) / math.log(2)).toLong
+      val depth = math.ceil(math.log(nNodes.toDouble) / math.log(4)).toLong
       val edges = spark.range(nNodes)
-        .select(col("id"), explode(array(
-          pmod(col("id") * 2, lit(nNodes)),
-          pmod(col("id") * 2 + 1, lit(nNodes)))).as("dstId"))
+        .select(col("id"), explode(array((0 to 3).map(c =>
+          pmod(col("id") * 4 + c, lit(nNodes))): _*)).as("dstId"))
         .select(concat(lit("n"), col("id")).as("_u"),
           concat(lit("n"), col("dstId")).as("_v"), lit(1.0).as("w"))
       val nodes = spark.range(nNodes)
@@ -505,7 +510,7 @@ object Main {
           edges.select(col("_u").as("src"), col("_v").as("dst")), 3)
         .agg(count(lit(1)).as("n"), sum(col("auth")).as("auth")).head
       val tHits = (System.nanoTime() - t1) / 1e9
-      val eCount = 2L * nNodes
+      val eCount = 4L * nNodes
       println(f"centrality-smoke: nodes=$nNodes edges=$eCount depth~$depth " +
         f"sources=${sources.size} btw[wall=$tBtw%.1fs scored=${btw.getLong(0)} " +
         f"mass=${btw.getDouble(1)}%.1f ${tBtw * 1e9 / (eCount * 2 * depth)}%.1f ns/(edge·step)] " +

@@ -166,8 +166,20 @@ object Extended18 {
     * the sink table is tiny relative to the stream, which is the whole
     * point of the streaming operators.
     */
+  /** `noDataBatches = false` skips the trailing watermark-advance
+    * micro-batches (`spark.sql.streaming.noDataMicroBatches.enabled`).
+    * Safe ONLY for replays whose final sink table is fully emitted by the
+    * DATA batches — Complete/Update-mode aggregates, inner joins,
+    * stateless enrichment, dropDuplicates (emit-on-arrival). The replays
+    * whose final emissions happen IN the no-data batch — event-time
+    * timeouts (st3) and outer-join null-row release (st8/st11) — must
+    * keep the default. A multi-wave watermarked replay otherwise pays one
+    * no-data batch per wave, each a full state-store commit cycle for
+    * zero rows: pure machinery floor (VERDICT r9 next-#3).
+    */
   private[queries] def runToCompletion(s: SparkSession, out: DataFrame, name: String,
-      mode: OutputMode, partitions: Int = 4): DataFrame = {
+      mode: OutputMode, partitions: Int = 4,
+      noDataBatches: Boolean = true): DataFrame = {
     s.catalog.dropTempView(name)
     // replay checkpoints are throwaway (fresh per invocation — the replay
     // IS the unit of work, nothing recovers across it), so they belong on
@@ -181,22 +193,47 @@ object Extended18 {
       Files.createTempDirectory(ckptBase, s"graft_ckpt_$name")
     else Files.createTempDirectory(s"graft_ckpt_$name")).toString
     // streaming state parallelism sized to the replay: every micro-batch
-    // commits one state store PER shuffle partition PER stateful operator,
-    // so a multi-wave replay at the batch default (32) pays hundreds of
-    // store commits for kilobytes of state. 8 partitions is the right size
-    // for the keyed-state replays; the stream-stream JOINS carry real
-    // per-row work on both sides and take more (callers pass it). A real
+    // commits one state store PER shuffle partition PER stateful operator
+    // (a stream-stream join holds FOUR stores per partition), so a
+    // multi-wave replay at the batch default (32) pays hundreds of store
+    // commits for kilobytes of state. 4 is the measured sweet spot at
+    // sf0.1: a round-10 A/B at 2 partitions saved store commits but cost
+    // MORE wall on every replay with real per-row work (st3/7/8/9/11 all
+    // slower — the 100k-row batches want the parallelism). A real
     // deployment sizes this to its key cardinality at first start (the
     // checkpoint pins it thereafter — fresh checkpoint per run here, so
     // the scope-down is safe).
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNoData = s.conf.get(noDataKey, "true")
     s.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    s.conf.set(noDataKey, noDataBatches.toString)
     try {
       val q = out.writeStream.format("memory").queryName(name)
         .outputMode(mode).option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // dev-loop floor profiler (the driver never sets it): dump each
+      // micro-batch's durationMs decomposition so the replay overhead can
+      // be attributed (planning vs state commit vs WAL vs addBatch) —
+      // the evidence behind SCALING.md's streaming-floor section
+      if (sys.env.contains("SPARK_GRAFT_ST_PROFILE"))
+        q.recentProgress.foreach { p =>
+          System.err.println(s"[st-profile] $name batch=${p.batchId} " +
+            s"rows=${p.numInputRows} durationMs=${p.durationMs}")
+        }
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.conf.set(noDataKey, prevNoData)
+      // throwaway checkpoint: reclaim it now — a bench session replays
+      // 14 queries × reps and a tmpfs checkpoint left behind is RAM held
+      // until process exit (the sink table is already materialized)
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(Paths.get(ckpt)).iterator().asScala.toSeq
+          .reverseIterator.foreach(java.nio.file.Files.deleteIfExists(_))
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
     s.table(name)
   }
 
@@ -226,7 +263,8 @@ object Extended18 {
     // job; this query certifies the windowed-agg semantics themselves.
     "st1_stream_hourly" -> ((s, d) => {
       val agg = EventStream.hourlyAgg(EventStream.readEvents(s, stagedEventsDir(d)))
-      runToCompletion(s, agg, "st1_mem", OutputMode.Complete())
+      runToCompletion(s, agg, "st1_mem", OutputMode.Complete(),
+          noDataBatches = false) // Complete mode: every batch emits all
         .orderBy("hour_ts", "event_type")
     }),
 
@@ -237,7 +275,8 @@ object Extended18 {
     // handoff across batches is st8's job).
     "st2_stream_funnel" -> ((s, d) => {
       val j = EventStream.funnelJoin(EventStream.readEvents(s, stagedEventsDir(d)))
-      runToCompletion(s, j, "st2_mem", OutputMode.Append(), partitions = 4)
+      runToCompletion(s, j, "st2_mem", OutputMode.Append(), partitions = 4,
+          noDataBatches = false) // inner join: matches emit in data batches
         .orderBy("user_id", "click_id", "purchase_id")
     }),
 
@@ -250,7 +289,7 @@ object Extended18 {
     // gaps-and-islands SQL.
     "st3_stream_sessions" -> ((s, d) => {
       val dir = stagedSessionDir(s, d)
-      val schema = s.read.parquet(dir).schema
+      val schema = graft.streaming.EventStream.cachedSchema(s, dir)
       val stream = EventStream.normalize(s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(dir))
       val sess = EventStream.timedSessions(s, stream, gapSec = 1800L)

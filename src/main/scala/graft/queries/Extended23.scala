@@ -57,7 +57,7 @@ object Extended23 {
     // the semantics are defined over.
     "st4_stream_firstwins" -> ((s, d) => {
       val dir = stagedDocWaves(s, d)
-      val schema = s.read.parquet(dir).schema
+      val schema = graft.streaming.EventStream.cachedSchema(s, dir)
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(dir)
         .select(col("doc_id"),

@@ -59,7 +59,7 @@ object Extended25 {
     // is wave-count-agnostic either way.
     "st5_stream_topk" -> ((s, d) => {
       val dir = stagedEventWaves(s, d)
-      val schema = s.read.parquet(dir).schema
+      val schema = graft.streaming.EventStream.cachedSchema(s, dir)
       val stream = EventStream.normalize(s.readStream.schema(schema)
         .parquet(dir))
       val tk = EventStream.runningTopK(s, stream, 3)

@@ -148,11 +148,12 @@ object Extended26 {
     // batches is st7's job, windowed re-open st4/st12's).
     "st6_stream_sliding" -> ((s, d) => {
       val dir = stagedTimeWaves(s, d)
-      val schema = s.read.parquet(dir).schema
+      val schema = graft.streaming.EventStream.cachedSchema(s, dir)
       val stream = EventStream.normalize(s.readStream.schema(schema)
         .parquet(dir))
       val agg = EventStream.slidingAgg(stream)
-      Extended18.runToCompletion(s, agg, "st6_mem", OutputMode.Complete())
+      Extended18.runToCompletion(s, agg, "st6_mem", OutputMode.Complete(),
+          noDataBatches = false) // Complete mode: every batch emits all
         .orderBy("win_start", "event_type")
     })
   )

@@ -122,11 +122,16 @@ object Extended27 {
     // drop semantics themselves, boundary math included.
     "st7_late_drop" -> ((s, d) => {
       val dir = stagedLateWaves(s, d)
-      val schema = s.read.parquet(dir).schema
+      val schema = graft.streaming.EventStream.cachedSchema(s, dir)
       val stream = EventStream.normalize(s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(dir))
       val agg = EventStream.hourlyAgg(stream) // 2 h watermark
-      val mem = Extended18.runToCompletion(s, agg, "st7_mem", OutputMode.Update())
+      // Update mode emits changed windows in the data batches themselves;
+      // the no-data batch only evicts state silently — skipping it saves
+      // one state-commit cycle per wave (3 waves here) and changes nothing
+      // in the sink
+      val mem = Extended18.runToCompletion(s, agg, "st7_mem", OutputMode.Update(),
+        noDataBatches = false)
       mem.groupBy("hour_ts", "event_type")
         .agg(max(struct(col("n"), col("total"))).as("m"))
         .select(col("hour_ts"), col("event_type"),

@@ -102,7 +102,7 @@ object Extended30 {
     // ---- stream-stream LEFT OUTER interval join, replayed ----
     "st8_stream_left_join" -> ((s, d) => {
       val dir = stagedOuterDir(s, d)
-      val schema = s.read.parquet(dir).schema
+      val schema = graft.streaming.EventStream.cachedSchema(s, dir)
       val stream = EventStream.normalize(s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(dir))
       val j = EventStream.funnelLeftJoin(stream)

@@ -26,7 +26,7 @@ object Extended35 {
     // wave cost here was pure state-store commit overhead.
     "st9_stream_transition" -> ((s, d) => {
       val dir = Extended26.stagedTimeWaves(s, d)
-      val schema = s.read.parquet(dir).schema
+      val schema = graft.streaming.EventStream.cachedSchema(s, dir)
       val stream = EventStream.normalize(s.readStream.schema(schema)
         .parquet(dir))
       val pairs = EventStream.transitionPairs(s, stream)

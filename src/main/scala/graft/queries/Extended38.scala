@@ -56,7 +56,7 @@ object Extended38 {
     // cheap. The stateful replays (st3–st9) keep their pinned waves.
     "st10_stream_enrich" -> ((s, d) => {
       val dir = Extended26.stagedTimeWaves(s, d)
-      val schema = s.read.parquet(dir).schema
+      val schema = graft.streaming.EventStream.cachedSchema(s, dir)
       val stream = EventStream.normalize(s.readStream.schema(schema)
         .parquet(dir))
       val dim = t(s, d, "customer").select("c_custkey", "c_mktsegment")

@@ -46,7 +46,7 @@ object Extended59 {
 
     "st11_stream_full_join" -> ((s, d) => {
       val dir = Extended30.stagedOuterDir(s, d)
-      val schema = s.read.parquet(dir).schema
+      val schema = graft.streaming.EventStream.cachedSchema(s, dir)
       val stream = EventStream.normalize(s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(dir))
       val j = EventStream.funnelFullJoin(stream)

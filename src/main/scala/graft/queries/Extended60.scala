@@ -144,13 +144,18 @@ object Extended60 {
     // ---- exactly-once ingest under redelivery ----
     "st12_stream_dedup" -> ((s, d) => {
       val dir = stagedRedeliverDir(d)
-      val schema = s.read.parquet(dir).schema
+      val schema = graft.streaming.EventStream.cachedSchema(s, dir)
       val stream = EventStream.normalize(s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(dir))
       val deduped = stream.withWatermark("ts", "6 hours")
         .dropDuplicatesWithinWatermark("event_id")
         .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
-      Extended18.runToCompletion(s, deduped, "st12_mem", OutputMode.Append())
+      // dropDuplicatesWithinWatermark emits first-seen rows ON ARRIVAL
+      // (state is only the seen-key filter); the watermark governs state
+      // EVICTION, not emission, so the trailing no-data batches buy
+      // nothing for the sink table
+      Extended18.runToCompletion(s, deduped, "st12_mem", OutputMode.Append(),
+        noDataBatches = false)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           countDistinct(col("user_id")).as("n_users"),

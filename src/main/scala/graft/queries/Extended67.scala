@@ -41,7 +41,7 @@ object Extended67 {
     // extra wave here cost only RocksDB store commits per partition.
     "st13_stream_running_totals" -> ((s, d) => {
       val dir = Extended26.stagedTimeWaves(s, d)
-      val schema = s.read.parquet(dir).schema
+      val schema = graft.streaming.EventStream.cachedSchema(s, dir)
       val stream = s.readStream.schema(schema)
         .parquet(dir)
       val totals = EventStream.runningTotals(s, stream)

@@ -42,7 +42,7 @@ object Extended85 {
     // explicit two-batch fixture, where the wave schedule is cheap.
     "st14_stream_asof_enrich" -> ((s, d) => {
       val dir = Extended26.stagedTimeWaves(s, d)
-      val schema = s.read.parquet(dir).schema
+      val schema = graft.streaming.EventStream.cachedSchema(s, dir)
       val stream = s.readStream.schema(schema)
         .parquet(dir)
       val enriched = EventStream.asOfEnrich(s, stream)

@@ -16,11 +16,24 @@ object EventStream {
     */
   def normalize(df: DataFrame): DataFrame = graft.Tables.normalizeTs(df)
 
+  /** Process-wide parquet schema cache for the staged replay directories.
+    * The staged fixtures are written once per process (Scratch.sync) and
+    * never change shape afterwards, so the footer-read job (a real Spark
+    * job, ~50–150 ms of driver+task time) need not be paid again on every
+    * replay invocation — at 14 st queries × 3 bench reps that job alone
+    * was a measurable slice of the streaming block's machinery floor.
+    * Keyed by directory path; Scratch paths embed the pid and sf dir, so
+    * entries can never alias across datasets or processes.
+    */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+  def cachedSchema(spark: SparkSession,
+      dir: String): org.apache.spark.sql.types.StructType =
+    schemaCache.computeIfAbsent(dir, p => spark.read.parquet(p).schema)
+
   /** Open a streaming read of event parquet files under `dir`. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(dir).schema
-    normalize(spark.readStream.schema(schema).parquet(dir))
-  }
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    normalize(spark.readStream.schema(cachedSchema(spark, dir)).parquet(dir))
 
   /** Tumbling-window counts/sums per event type with a watermark — the
     * streaming form of the batch `e1_hourly_agg` oracle query.

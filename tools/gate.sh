@@ -31,6 +31,13 @@ if ! SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
 fi
 VLINE=$(grep -o '[0-9]* ok, [0-9]* failed / [0-9]* queries' "$OUT/verify.log" | tail -1)
 echo "[gate]    verify: ${VLINE:-summary line missing}"
+V_OK=$(echo "${VLINE:-0 ok}" | grep -o '^[0-9]*')
+V_FAILED=$(echo "${VLINE:-}" | grep -o '[0-9]* failed' | grep -o '[0-9]*')
+if [ -z "$VLINE" ] || [ "${V_OK:-0}" -eq 0 ] || [ "${V_FAILED:-1}" -ne 0 ]; then
+  grep '\[verify\].*failed' "$OUT/verify.log" | head -10
+  echo "GATE FAIL verify reported ${V_FAILED:-?} failed / ${V_OK:-0} ok — see $OUT/verify.log"
+  exit 1
+fi
 
 echo "[gate] 2/3 DuckDB oracle compare  (log: $OUT/oracle.log)"
 python3 tools/oracle_check.py "$OUT" "$SF" "$OUT/correctness_self.json" \
@@ -42,6 +49,13 @@ if [ -z "$SUMMARY" ]; then
   exit 1
 fi
 echo "[gate]    oracle: $SUMMARY"
+# "0 fail / 0 queries" is a degenerate success (nothing was compared) —
+# a real sweep always produces hundreds of query dirs
+N_TOTAL=$(echo "$SUMMARY" | grep -o '/ [0-9]*' | grep -o '[0-9]*')
+if [ "${N_TOTAL:-0}" -lt 100 ]; then
+  echo "GATE FAIL oracle compared only ${N_TOTAL:-0} queries — the sweep produced no usable output ($OUT/oracle.log)"
+  exit 1
+fi
 if [ "$ORC" -ne 0 ]; then
   grep '^FAIL' "$OUT/oracle.log" | head -20
   echo "GATE FAIL $SUMMARY — failing queries above, full log $OUT/oracle.log"
