@@ -539,9 +539,16 @@ object Route {
       return betweennessLocal(g, weightCol, Some(sources.distinct))
         .toSeq.toDF("_n", "betweenness")
     }
+    val dbgB = sys.env.contains("SPARK_GRAFT_FIXPOINT_DEBUG")
+    def stamp(tag: String, t0: Long): Long = {
+      if (dbgB) System.err.println(f"[fixpoint] $tag ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      System.nanoTime()
+    }
+    var tS = System.nanoTime()
     val rg = fromPropertyGraph(g, weightCol)
     val srcVids = rg.idOf.filter(col("_n").isin(sources.distinct: _*))
       .collect().map(_.getLong(1))
+    tS = stamp("build+srcVids", tS)
     require(srcVids.length == sources.distinct.length,
       s"unknown source node(s) among: ${sources.distinct.mkString(", ")}")
     val base = rg.graph.cache()
@@ -556,17 +563,23 @@ object Route {
       var acc: org.apache.spark.rdd.RDD[(VertexId, Double)] = null
       srcVids.sorted.grouped(64).foreach { chunk =>
         val d = brandesDeltas(base, chunk.toSet, maxIters)
+        tS = stamp("brandesDeltas-return", tS)
+        // localCheckpoint BEFORE first materialization: it truncates the
+        // per-chunk lineage at the count() below. Calling it on an
+        // already-counted RDD forces Spark to RECOMPUTE the whole lineage
+        // to produce the checkpoint blocks — and the fixpoint
+        // intermediates are unpersisted by then, so the recompute replays
+        // every superstep uncached (measured 240 s of a 271 s wall at
+        // 8k nodes × 64 sources; the fold itself is milliseconds).
         val next =
-          (if (acc == null) d else acc.union(d).reduceByKey(_ + _)).cache()
+          (if (acc == null) d else acc.union(d).reduceByKey(_ + _))
+            .localCheckpoint()
         next.count()
+        tS = stamp("chunk-fold", tS)
         if (acc != null) acc.unpersist(blocking = false)
         d.unpersist(blocking = false)
         acc = next
       }
-      // truncate the per-source lineage chain; blocks are released by the
-      // ContextCleaner once the result is unreachable
-      acc.localCheckpoint()
-      acc.count()
       import spark.implicits._
       val scores = acc.toDF("_vid", "betweenness")
       rg.idOf.join(scores, Seq("_vid"), "left")
@@ -607,7 +620,9 @@ object Route {
       }.toMap
     var iter = 0
     var changed = true
+    val dbg = sys.env.contains("SPARK_GRAFT_FIXPOINT_DEBUG")
     while (changed && iter < maxIters) {
+      val tRound = System.nanoTime()
       val msgs = fw.aggregateMessages[DS](
         ctx => if (ctx.srcAttr.nonEmpty)
           ctx.sendToDst(ctx.srcAttr.map { case (k, (d, sig)) =>
@@ -620,11 +635,20 @@ object Route {
       }.cache()
       changed = next.vertices.join(fw.vertices)
         .filter { case (_, (a, b)) => a != b }.count() > 0
+      // materialize the NEW graph's edge/replicated view before dropping
+      // the old one: the changed-count above touches only next.vertices,
+      // and an aggregateMessages whose replicated view still points at an
+      // unpersisted predecessor re-derives the whole round chain
+      // (quadratic in rounds — measured 5x per-round cliff at 8k nodes)
+      next.edges.count()
       fw.unpersistVertices(blocking = false)
       fw.edges.unpersist(blocking = false)
       fw = next
       iter += 1
+      if (dbg) System.err.println(f"[fixpoint] p1 round=$iter ${(System.nanoTime()-tRound)/1e9}%.1fs")
     }
+    if (sys.env.contains("SPARK_GRAFT_FIXPOINT_DEBUG"))
+      System.err.println(s"[fixpoint] brandes phase1 rounds=$iter converged=${!changed}")
     // ---- phase 2: dependency δ back up each source's shortest-path DAG ----
     type Deltas = Map[VertexId, Double]
     var bw: GXGraph[(DS, Deltas), Double] =
@@ -632,6 +656,7 @@ object Route {
     changed = true
     iter = 0
     while (changed && iter < maxIters) {
+      val tRound = System.nanoTime()
       val msgs = bw.aggregateMessages[Deltas](
         ctx => {
           val contrib = ctx.srcAttr._1.flatMap { case (k, (sd, ssig)) =>
@@ -651,11 +676,15 @@ object Route {
         (old._1, m.getOrElse(Map.empty[VertexId, Double]))).cache()
       changed = next.vertices.join(bw.vertices)
         .filter { case (_, (a, b)) => a._2 != b._2 }.count() > 0
+      next.edges.count()
       bw.unpersistVertices(blocking = false)
       bw.edges.unpersist(blocking = false)
       bw = next
       iter += 1
+      if (dbg) System.err.println(f"[fixpoint] p2 round=$iter ${(System.nanoTime()-tRound)/1e9}%.1fs")
     }
+    if (sys.env.contains("SPARK_GRAFT_FIXPOINT_DEBUG"))
+      System.err.println(s"[fixpoint] brandes phase2 rounds=$iter converged=${!changed}")
     val deltas = bw.vertices
       .flatMap { case (vid, (_, dmap)) =>
         val total = dmap.iterator
