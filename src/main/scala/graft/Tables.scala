@@ -57,11 +57,29 @@ object Tables {
     */
   val sessionConfigs: Map[String, String] = sessionRuntimeConfigs ++ Map(
     // Kryo for RDD/GraphX shuffle payloads (SQL uses UnsafeRow and is
-    // unaffected): the graph fixpoints ship per-vertex state maps as
-    // messages every superstep, and Java serialization of those maps was
-    // the dominant constant in batched Brandes (round-10 A/B on the
-    // centrality smoke at 2k nodes × 64 sources: 71.3 s → 43.0 s wall).
+    // unaffected): the graph fixpoints ship per-vertex state as messages
+    // every superstep, and serialization is their dominant constant. The
+    // reproducible evidence is the driver's own round-10 bench deltas
+    // (r12_hits 3.04 → 1.95 s, r1_betweenness_chain 3.34 → 2.76 s) — the
+    // round-10 "71.3 → 43.0 s" smoke A/B was retracted as unreproducible;
+    // SCALING.md's round-11 table carries the measured curve with config.
     // Values-only results are serializer-invariant; SQL/streaming paths
     // use their own encoders. STATIC — builder-time only.
-    "spark.serializer" -> "org.apache.spark.serializer.KryoSerializer")
+    "spark.serializer" -> "org.apache.spark.serializer.KryoSerializer",
+    // Register the hot RDD-shuffle classes so Kryo writes a varint class
+    // id instead of a fully-qualified name per stream: the GraphX
+    // partition/ship types (the same list GraphXUtils.registerKryoClasses
+    // installs — not callable here because config is a string map) plus
+    // the Brandes fixpoint's primitive-array message types. Registration
+    // is an encoding hint only — values are serializer-invariant, and
+    // registrationRequired stays false so unlisted classes still work.
+    "spark.kryo.classesToRegister" -> Seq(
+      "org.apache.spark.graphx.Edge",
+      "org.apache.spark.graphx.impl.EdgePartition",
+      "org.apache.spark.graphx.impl.ShippableVertexPartition",
+      "org.apache.spark.graphx.impl.RoutingTablePartition",
+      "org.apache.spark.util.collection.BitSet",
+      "org.apache.spark.util.collection.OpenHashSet",
+      "graft.route.SrcDistSig",
+      "graft.route.DeltaVec").mkString(","))
 }

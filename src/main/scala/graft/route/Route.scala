@@ -6,6 +6,130 @@ import org.apache.spark.sql.functions._
 
 import graft.graph.PropertyGraph
 
+/** Sparse per-source (dist, σ) state for one ≤64-source Brandes chunk:
+  * chunk-local source indices ascending in `idx`, with the matching
+  * distance/path-count in `dist`/`sig`, as primitive parallel arrays.
+  *
+  * This replaces `Map[VertexId, (Double, Double)]` vertex state and
+  * superstep messages. The fixpoint ships one state per edge per
+  * superstep; a 64-entry immutable Map costs ~5 allocations per entry
+  * (Tuple2 wrapper, boxed Long key, nested Tuple2, two boxed Doubles)
+  * under any serializer, while the arrays are three primitive blobs per
+  * MESSAGE — the serialization constant the round-10 profiling flagged
+  * as the dominant superstep cost. Instances are never mutated after
+  * construction (merges allocate), so messages may share arrays.
+  */
+private[route] final class SrcDistSig(
+    val idx: Array[Int], val dist: Array[Double], val sig: Array[Double])
+  extends Serializable {
+  def isEmpty: Boolean = idx.length == 0
+  /** canonical content equality (arrays are always idx-ascending) */
+  def same(o: SrcDistSig): Boolean =
+    java.util.Arrays.equals(idx, o.idx) &&
+      java.util.Arrays.equals(dist, o.dist) &&
+      java.util.Arrays.equals(sig, o.sig)
+}
+
+private[route] object SrcDistSig {
+  val empty = new SrcDistSig(
+    Array.emptyIntArray, Array.emptyDoubleArray, Array.emptyDoubleArray)
+
+  /** Per-source minimum over two sorted states: strictly smaller distance
+    * wins, bit-equal tie sums σ — the identical arithmetic the Map-based
+    * merge performed, in one allocation-free merge-join pass.
+    */
+  def merge(a: SrcDistSig, b: SrcDistSig): SrcDistSig = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    val n = a.idx.length + b.idx.length
+    val oi = new Array[Int](n)
+    val od = new Array[Double](n)
+    val os = new Array[Double](n)
+    var i = 0; var j = 0; var k = 0
+    while (i < a.idx.length && j < b.idx.length) {
+      val ai = a.idx(i); val bj = b.idx(j)
+      if (ai < bj) { oi(k) = ai; od(k) = a.dist(i); os(k) = a.sig(i); i += 1 }
+      else if (bj < ai) { oi(k) = bj; od(k) = b.dist(j); os(k) = b.sig(j); j += 1 }
+      else {
+        val da = a.dist(i); val db = b.dist(j)
+        oi(k) = ai
+        if (da < db) { od(k) = da; os(k) = a.sig(i) }
+        else if (db < da) { od(k) = db; os(k) = b.sig(j) }
+        else { od(k) = da; os(k) = a.sig(i) + b.sig(j) }
+        i += 1; j += 1
+      }
+      k += 1
+    }
+    while (i < a.idx.length) { oi(k) = a.idx(i); od(k) = a.dist(i); os(k) = a.sig(i); i += 1; k += 1 }
+    while (j < b.idx.length) { oi(k) = b.idx(j); od(k) = b.dist(j); os(k) = b.sig(j); j += 1; k += 1 }
+    if (k == n) new SrcDistSig(oi, od, os)
+    else new SrcDistSig(java.util.Arrays.copyOf(oi, k),
+      java.util.Arrays.copyOf(od, k), java.util.Arrays.copyOf(os, k))
+  }
+
+  /** `state` with source index `si` pinned to (0.0, 1.0) — the recount
+    * rule's replacement of a source's own entry, array form of
+    * `recount + (vid -> (0.0, 1.0))`.
+    */
+  def withSelf(state: SrcDistSig, si: Int): SrcDistSig = {
+    val p = java.util.Arrays.binarySearch(state.idx, si)
+    if (p >= 0) {
+      val od = state.dist.clone(); val os = state.sig.clone()
+      od(p) = 0.0; os(p) = 1.0
+      new SrcDistSig(state.idx, od, os)
+    } else {
+      val at = -p - 1
+      val n = state.idx.length
+      val oi = new Array[Int](n + 1)
+      val od = new Array[Double](n + 1)
+      val os = new Array[Double](n + 1)
+      System.arraycopy(state.idx, 0, oi, 0, at)
+      System.arraycopy(state.dist, 0, od, 0, at)
+      System.arraycopy(state.sig, 0, os, 0, at)
+      oi(at) = si; od(at) = 0.0; os(at) = 1.0
+      System.arraycopy(state.idx, at, oi, at + 1, n - at)
+      System.arraycopy(state.dist, at, od, at + 1, n - at)
+      System.arraycopy(state.sig, at, os, at + 1, n - at)
+      new SrcDistSig(oi, od, os)
+    }
+  }
+}
+
+/** Sparse per-source dependency vector for the Brandes backward phase —
+  * same layout discipline as [[SrcDistSig]] (idx ascending, primitive
+  * arrays, immutable after construction).
+  */
+private[route] final class DeltaVec(val idx: Array[Int], val del: Array[Double])
+  extends Serializable {
+  def same(o: DeltaVec): Boolean =
+    java.util.Arrays.equals(idx, o.idx) && java.util.Arrays.equals(del, o.del)
+}
+
+private[route] object DeltaVec {
+  val empty = new DeltaVec(Array.emptyIntArray, Array.emptyDoubleArray)
+
+  /** per-source sum over two sorted vectors (merge-join) */
+  def merge(a: DeltaVec, b: DeltaVec): DeltaVec = {
+    if (a.idx.length == 0) return b
+    if (b.idx.length == 0) return a
+    val n = a.idx.length + b.idx.length
+    val oi = new Array[Int](n)
+    val od = new Array[Double](n)
+    var i = 0; var j = 0; var k = 0
+    while (i < a.idx.length && j < b.idx.length) {
+      val ai = a.idx(i); val bj = b.idx(j)
+      if (ai < bj) { oi(k) = ai; od(k) = a.del(i); i += 1 }
+      else if (bj < ai) { oi(k) = bj; od(k) = b.del(j); j += 1 }
+      else { oi(k) = ai; od(k) = a.del(i) + b.del(j); i += 1; j += 1 }
+      k += 1
+    }
+    while (i < a.idx.length) { oi(k) = a.idx(i); od(k) = a.del(i); i += 1; k += 1 }
+    while (j < b.idx.length) { oi(k) = b.idx(j); od(k) = b.del(j); j += 1; k += 1 }
+    if (k == n) new DeltaVec(oi, od)
+    else new DeltaVec(java.util.Arrays.copyOf(oi, k), java.util.Arrays.copyOf(od, k))
+  }
+}
+
 /** Routing analytics on GraphX — the distributed replacement for the
   * reference's "stock networkx over lazy SQL Mappings" protocol
   * (`graphs/digraphdb/__init__.py:16-167`, `README.md:59-74`).
@@ -562,17 +686,20 @@ object Route {
       // RDD, materialized each step so at most two live at once.
       var acc: org.apache.spark.rdd.RDD[(VertexId, Double)] = null
       srcVids.sorted.grouped(64).foreach { chunk =>
-        val d = brandesDeltas(base, chunk.toSet, maxIters)
+        val d = brandesDeltas(base, chunk.toArray, maxIters)
         tS = stamp("brandesDeltas-return", tS)
-        // localCheckpoint BEFORE first materialization: it truncates the
-        // per-chunk lineage at the count() below. Calling it on an
-        // already-counted RDD forces Spark to RECOMPUTE the whole lineage
-        // to produce the checkpoint blocks — and the fixpoint
-        // intermediates are unpersisted by then, so the recompute replays
-        // every superstep uncached (measured 240 s of a 271 s wall at
-        // 8k nodes × 64 sources; the fold itself is milliseconds).
+        // fold into a FRESH RDD before checkpointing. brandesDeltas has
+        // already run a job over `d` (cache + count), which latches
+        // doCheckpointCalled on it — localCheckpoint() directly on `d`
+        // would be a silent no-op returning the same object, and the
+        // unconditional d.unpersist below would then drop the chunk's only
+        // cached copy, replaying the entire two-phase fixpoint (every
+        // superstep uncached) at the final toDF/join. map(identity) for
+        // the single-chunk case gives localCheckpoint an RDD whose first
+        // materialization is the count() here, so the checkpoint blocks
+        // actually land and the lineage truncates as intended.
         val next =
-          (if (acc == null) d else acc.union(d).reduceByKey(_ + _))
+          (if (acc == null) d.map(identity) else acc.union(d).reduceByKey(_ + _))
             .localCheckpoint()
         next.count()
         tS = stamp("chunk-fold", tS)
@@ -589,52 +716,55 @@ object Route {
   }
 
   /** One batched Brandes pass over ≤64 sources: forward (dist, σ) fixpoint,
-    * then backward δ fixpoint, both carrying a per-source map (exactly the
-    * [[landmarkDistances]] state shape). Returns each vertex's dependency
-    * score summed over the chunk's sources (own-source term excluded),
-    * cached and materialized. Mirrors Pregel's iteration hygiene (previous
-    * round's vertices unpersisted each step).
+    * then backward δ fixpoint, both carrying per-source state as sorted
+    * primitive parallel arrays keyed by CHUNK-LOCAL source index
+    * ([[SrcDistSig]]/[[DeltaVec]] — the allocation/serialization-lean form
+    * of the [[landmarkDistances]] map shape; `srcVids` must be sorted
+    * ascending and is the idx→vid decoder). Returns each vertex's
+    * dependency score summed over the chunk's sources (own-source term
+    * excluded), cached and materialized. Mirrors Pregel's iteration
+    * hygiene (previous round's vertices unpersisted each step).
     *
     * Recount-style fixpoints as in the single-source original: every round
     * each vertex's state is rebuilt entirely from neighbor messages, so σ
     * and δ are never double-accumulated across rounds, and the equal-cost
     * tie rule stays the bit-equality of identical IEEE additions.
     */
-  private def brandesDeltas(graph: GXGraph[String, Double], srcs: Set[VertexId],
+  private def brandesDeltas(graph: GXGraph[String, Double], srcVids: Array[VertexId],
       maxIters: Int): org.apache.spark.rdd.RDD[(VertexId, Double)] = {
-    type DS = Map[VertexId, (Double, Double)] // src -> (dist, sigma)
+    require(srcVids.length <= 64 && (srcVids.length < 2 ||
+      srcVids.sliding(2).forall(p => p(0) < p(1))),
+      "brandesDeltas takes a sorted, deduplicated chunk of <= 64 sources")
     // ---- phase 1: dist + path count σ, all sources at once ----
-    var fw: GXGraph[DS, Double] = graph.mapVertices((vid, _) =>
-      if (srcs.contains(vid)) Map(vid -> ((0.0, 1.0))) else Map.empty[VertexId, (Double, Double)]).cache()
-    def mergeDS(a: DS, b: DS): DS =
-      (a.keySet ++ b.keySet).iterator.map { k =>
-        (a.get(k), b.get(k)) match {
-          case (Some(x), None) => k -> x
-          case (None, Some(y)) => k -> y
-          case (Some(x), Some(y)) =>
-            k -> (if (x._1 < y._1) x
-                  else if (y._1 < x._1) y
-                  else (x._1, x._2 + y._2))
-          case (None, None) => throw new IllegalStateException("unreachable")
-        }
-      }.toMap
+    var fw: GXGraph[SrcDistSig, Double] = graph.mapVertices { (vid, _) =>
+      val si = java.util.Arrays.binarySearch(srcVids, vid)
+      if (si >= 0) new SrcDistSig(Array(si), Array(0.0), Array(1.0))
+      else SrcDistSig.empty
+    }.cache()
     var iter = 0
     var changed = true
     val dbg = sys.env.contains("SPARK_GRAFT_FIXPOINT_DEBUG")
     while (changed && iter < maxIters) {
       val tRound = System.nanoTime()
-      val msgs = fw.aggregateMessages[DS](
-        ctx => if (ctx.srcAttr.nonEmpty)
-          ctx.sendToDst(ctx.srcAttr.map { case (k, (d, sig)) =>
-            k -> ((d + ctx.attr, sig))
-          }),
-        mergeDS)
+      val msgs = fw.aggregateMessages[SrcDistSig](
+        ctx => if (!ctx.srcAttr.isEmpty) {
+          val s = ctx.srcAttr
+          val w = ctx.attr
+          val nd = new Array[Double](s.dist.length)
+          var i = 0
+          while (i < nd.length) { nd(i) = s.dist(i) + w; i += 1 }
+          // idx/sig are immutable-by-convention, so sharing them with the
+          // source state is safe (serialization copies per message)
+          ctx.sendToDst(new SrcDistSig(s.idx, nd, s.sig))
+        },
+        SrcDistSig.merge)
       val next = fw.outerJoinVertices(msgs) { (vid, _, m) =>
-        val recount = m.getOrElse(Map.empty[VertexId, (Double, Double)])
-        if (srcs.contains(vid)) recount + (vid -> ((0.0, 1.0))) else recount
+        val recount = m.getOrElse(SrcDistSig.empty)
+        val si = java.util.Arrays.binarySearch(srcVids, vid)
+        if (si >= 0) SrcDistSig.withSelf(recount, si) else recount
       }.cache()
       changed = next.vertices.join(fw.vertices)
-        .filter { case (_, (a, b)) => a != b }.count() > 0
+        .filter { case (_, (a, b)) => !a.same(b) }.count() > 0
       // materialize the NEW graph's edge/replicated view before dropping
       // the old one: the changed-count above touches only next.vertices,
       // and an aggregateMessages whose replicated view still points at an
@@ -647,35 +777,56 @@ object Route {
       iter += 1
       if (dbg) System.err.println(f"[fixpoint] p1 round=$iter ${(System.nanoTime()-tRound)/1e9}%.1fs")
     }
-    if (sys.env.contains("SPARK_GRAFT_FIXPOINT_DEBUG"))
+    if (dbg)
       System.err.println(s"[fixpoint] brandes phase1 rounds=$iter converged=${!changed}")
     // ---- phase 2: dependency δ back up each source's shortest-path DAG ----
-    type Deltas = Map[VertexId, Double]
-    var bw: GXGraph[(DS, Deltas), Double] =
-      fw.mapVertices((_, ds) => (ds, Map.empty[VertexId, Double])).cache()
+    var bw: GXGraph[(SrcDistSig, DeltaVec), Double] =
+      fw.mapVertices((_, ds) => (ds, DeltaVec.empty)).cache()
     changed = true
     iter = 0
     while (changed && iter < maxIters) {
       val tRound = System.nanoTime()
-      val msgs = bw.aggregateMessages[Deltas](
+      val msgs = bw.aggregateMessages[DeltaVec](
         ctx => {
-          val contrib = ctx.srcAttr._1.flatMap { case (k, (sd, ssig)) =>
-            ctx.dstAttr._1.get(k) match {
-              case Some((dd, dsig)) if dsig > 0 && sd + ctx.attr == dd =>
-                Some(k -> ssig / dsig *
-                  (1.0 + ctx.dstAttr._2.getOrElse(k, 0.0)))
-              case _ => None
+          // merge-join the edge ends' per-source states (both idx-sorted);
+          // a source contributes when dst lies on one of its shortest
+          // paths through this edge: σdst > 0 and dist(src) + w bit-equal
+          // dist(dst). The dst delta pointer `l` only ever advances — the
+          // matched idx sequence is ascending.
+          val s = ctx.srcAttr._1
+          val dAtt = ctx.dstAttr._1
+          val dDel = ctx.dstAttr._2
+          val w = ctx.attr
+          val cap = math.min(s.idx.length, dAtt.idx.length)
+          val oi = new Array[Int](cap)
+          val od = new Array[Double](cap)
+          var i = 0; var j = 0; var l = 0; var k = 0
+          while (i < s.idx.length && j < dAtt.idx.length) {
+            val si = s.idx(i); val dj = dAtt.idx(j)
+            if (si < dj) i += 1
+            else if (dj < si) j += 1
+            else {
+              val dsig = dAtt.sig(j)
+              if (dsig > 0 && s.dist(i) + w == dAtt.dist(j)) {
+                while (l < dDel.idx.length && dDel.idx(l) < si) l += 1
+                val delta =
+                  if (l < dDel.idx.length && dDel.idx(l) == si) dDel.del(l)
+                  else 0.0
+                oi(k) = si
+                od(k) = s.sig(i) / dsig * (1.0 + delta)
+                k += 1
+              }
+              i += 1; j += 1
             }
           }
-          if (contrib.nonEmpty) ctx.sendToSrc(contrib)
+          if (k > 0) ctx.sendToSrc(new DeltaVec(
+            java.util.Arrays.copyOf(oi, k), java.util.Arrays.copyOf(od, k)))
         },
-        (a, b) => (a.keySet ++ b.keySet).iterator.map { k =>
-          k -> (a.getOrElse(k, 0.0) + b.getOrElse(k, 0.0))
-        }.toMap)
+        DeltaVec.merge)
       val next = bw.outerJoinVertices(msgs)((_, old, m) =>
-        (old._1, m.getOrElse(Map.empty[VertexId, Double]))).cache()
+        (old._1, m.getOrElse(DeltaVec.empty))).cache()
       changed = next.vertices.join(bw.vertices)
-        .filter { case (_, (a, b)) => a._2 != b._2 }.count() > 0
+        .filter { case (_, (a, b)) => !a._2.same(b._2) }.count() > 0
       next.edges.count()
       bw.unpersistVertices(blocking = false)
       bw.edges.unpersist(blocking = false)
@@ -683,12 +834,18 @@ object Route {
       iter += 1
       if (dbg) System.err.println(f"[fixpoint] p2 round=$iter ${(System.nanoTime()-tRound)/1e9}%.1fs")
     }
-    if (sys.env.contains("SPARK_GRAFT_FIXPOINT_DEBUG"))
+    if (dbg)
       System.err.println(s"[fixpoint] brandes phase2 rounds=$iter converged=${!changed}")
     val deltas = bw.vertices
-      .flatMap { case (vid, (_, dmap)) =>
-        val total = dmap.iterator
-          .collect { case (k, d) if k != vid => d }.sum
+      .flatMap { case (vid, (_, dv)) =>
+        // own-source term excluded; ascending-idx fold is the canonical
+        // (partitioning-independent) summation order
+        var total = 0.0
+        var i = 0
+        while (i < dv.idx.length) {
+          if (srcVids(dv.idx(i)) != vid) total += dv.del(i)
+          i += 1
+        }
         if (total != 0.0) Iterator((vid, total)) else Iterator.empty
       }.cache()
     deltas.count()
