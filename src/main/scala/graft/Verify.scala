@@ -103,10 +103,10 @@ object Verify {
         .mkString(",")
       // escape \ | and NUL inside cell values before joining, so a cell
       // containing the separator (or a literal NUL, the null sentinel)
-      // cannot make two distinct rows collide (ADVICE r9). Cells free of
-      // those characters hash exactly as before, keeping the attest
-      // diffable across this change for the vast majority of queries
-      // (the regenerated baseline notes the exceptions).
+      // cannot make two distinct rows collide (ADVICE r9). At current
+      // data no committed cell contains \ or | — the escaping changed
+      // ZERO committed hashes (verified by full-gate rerun) — and any
+      // future cell that does will intentionally drift the attest.
       val rowStr = concat_ws("|", fields.toIndexedSeq.map(f =>
         coalesce(
           regexp_replace(col(f.name).cast("string"),

@@ -431,44 +431,73 @@ object Main {
     // N synthetic WAVs (the registry's real-JDK-codec corpus shape) are
     // materialized to parquet ONCE, then the decode passes
     // (extractFeatures / extractAudioDsp — mapPartitions, zero shuffle)
-    // are timed over the stored bytes. The claim under test is that
-    // decode wall is CORPUS-LINEAR (constant blobs/s and MB/s as N
-    // doubles) — the per-MB decode rate printed here is the number a
-    // 100 TB multimodal ingest plan actually budgets with. Results are
-    // reduced with a distributed aggregate (no per-media collect).
-    // Usage: media-smoke N
-    case "media-smoke" :: n :: Nil =>
+    // are timed over the stored bytes, plus the mm9 frame-diff kernel
+    // (double real decode + per-pixel SAD over an equi-joined frame pair,
+    // seed-B repeating A on every 5th id — the registry's exact shape) so
+    // the per-MB diff rate has a pinned row to adjudicate mm9 wall drift
+    // against. The claim under test is that decode wall is CORPUS-LINEAR
+    // (constant blobs/s and MB/s as N doubles) — the per-MB decode rate
+    // printed here is the number a 100 TB multimodal ingest plan actually
+    // budgets with. Results are reduced with a distributed aggregate (no
+    // per-media collect); each result line carries the run config so a
+    // reader can reproduce it. Usage: media-smoke N [reps]
+    case "media-smoke" :: n :: rest if rest.length <= 1 =>
       import org.apache.spark.sql.functions._
       import graft.llm.Multimodal
       val nMedia = n.toLong
+      val reps = rest.headOption.map(_.toInt).getOrElse(1)
       val base = spark.range(nMedia).select(col("id").as("media_id"))
       val tmp = Files.createTempDirectory("graft-media-smoke")
-      val imgPath = tmp.resolve("img").toString
-      val wavPath = tmp.resolve("wav").toString
-      Multimodal.synthesizeImages(base, "media_id")
-        .write.mode("overwrite").parquet(imgPath)
-      Multimodal.synthesizeAudio(base, "media_id")
-        .write.mode("overwrite").parquet(wavPath)
-      val img = spark.read.parquet(imgPath)
-      val wav = spark.read.parquet(wavPath)
-      val imgBytes = img.agg(sum(length(col("content")))).head.getLong(0)
-      val wavBytes = wav.agg(sum(length(col("content")))).head.getLong(0)
-      def timeIt(body: => Long): (Long, Double) = {
-        val t0 = System.nanoTime()
-        val chk = body
-        (chk, (System.nanoTime() - t0) / 1e9)
-      }
-      val (imgN, tImg) = timeIt(
-        Multimodal.extractFeatures(img)
-          .agg(count(lit(1)), sum(col("width") * col("height"))).head.getLong(0))
-      val (wavN, tWav) = timeIt(
-        Multimodal.extractAudioDsp(wav)
-          .agg(count(lit(1)), sum(col("n_frames"))).head.getLong(0))
-      println(f"media-smoke: media=$nMedia " +
-        f"png[${imgBytes / 1048576.0}%.1fMB decoded=$imgN wall=$tImg%.1fs " +
-        f"${imgN / tImg}%.0f blobs/s ${imgBytes / 1e6 / tImg}%.1f MB/s] " +
-        f"wav[${wavBytes / 1048576.0}%.1fMB decoded=$wavN wall=$tWav%.1fs " +
-        f"${wavN / tWav}%.0f blobs/s ${wavBytes / 1e6 / tWav}%.1f MB/s]")
+      try {
+        val imgPath = tmp.resolve("img").toString
+        val wavPath = tmp.resolve("wav").toString
+        val fbPath = tmp.resolve("frame_b").toString
+        Multimodal.synthesizeImages(base, "media_id")
+          .write.mode("overwrite").parquet(imgPath)
+        Multimodal.synthesizeAudio(base, "media_id")
+          .write.mode("overwrite").parquet(wavPath)
+        val seedB = when(pmod(col("media_id"), lit(5)) === 0, col("media_id"))
+          .otherwise(col("media_id") + 252L)
+        Multimodal.synthesizeImagesSeeded(base, "media_id", seedB)
+          .select(col("media_id"), col("content").as("content_b"))
+          .write.mode("overwrite").parquet(fbPath)
+        val img = spark.read.parquet(imgPath)
+        val wav = spark.read.parquet(wavPath)
+        val fb = spark.read.parquet(fbPath)
+        val imgBytes = img.agg(sum(length(col("content")))).head.getLong(0)
+        val wavBytes = wav.agg(sum(length(col("content")))).head.getLong(0)
+        val fbBytes = fb.agg(sum(length(col("content_b")))).head.getLong(0)
+        val diffBytes = imgBytes + fbBytes // the diff pass decodes BOTH streams
+        def timeIt(body: => Long): (Long, Double) = {
+          val t0 = System.nanoTime()
+          val chk = body
+          (chk, (System.nanoTime() - t0) / 1e9)
+        }
+        for (rep <- 1 to reps) {
+          val (imgN, tImg) = timeIt(
+            Multimodal.extractFeatures(img)
+              .agg(count(lit(1)), sum(col("width") * col("height"))).head.getLong(0))
+          val (wavN, tWav) = timeIt(
+            Multimodal.extractAudioDsp(wav)
+              .agg(count(lit(1)), sum(col("n_frames"))).head.getLong(0))
+          val (diffN, tDiff) = timeIt(
+            Multimodal.frameDiffStats(
+                img.select(col("media_id"), col("content").as("content_a"))
+                  .join(fb, "media_id"))
+              .agg(count(lit(1)), sum(col("sad"))).head.getLong(0))
+          println(f"media-smoke: media=$nMedia rep=$rep/$reps ${runConfig(spark)} " +
+            f"png[${imgBytes / 1048576.0}%.1fMB decoded=$imgN wall=$tImg%.1fs " +
+            f"${imgN / tImg}%.0f blobs/s ${imgBytes / 1e6 / tImg}%.1f MB/s] " +
+            f"wav[${wavBytes / 1048576.0}%.1fMB decoded=$wavN wall=$tWav%.1fs " +
+            f"${wavN / tWav}%.0f blobs/s ${wavBytes / 1e6 / tWav}%.1f MB/s] " +
+            f"framediff[${diffBytes / 1048576.0}%.1fMB pairs=$diffN wall=$tDiff%.1fs " +
+            f"${diffN / tDiff}%.0f pairs/s ${diffBytes / 1e6 / tDiff}%.1f MB/s]")
+        }
+      } finally
+        // the synthetic corpus can be GBs at large N — reclaim tmp now
+        // rather than leaking a parquet tree per invocation
+        GraphPackage.walkTree(tmp)(
+          _.toSeq.reverseIterator.foreach(Files.deleteIfExists(_)))
 
     // Graph-fixpoint scale smoke (VERDICT r9 next-#6b): a deterministic
     // constant-out-degree-4 doubling graph (i → 4i+c mod N, c ∈ 0..3;
@@ -486,11 +515,18 @@ object Main {
     // cluster-scale cost — low while the per-step message volume carries
     // the |E| scaling; a fixpoint's wall here is rounds × (|E| ×
     // batch-size map entries serialized), exactly the 1000-executor
-    // shape. Usage: centrality-smoke N [nSources]
-    case "centrality-smoke" :: n :: rest =>
+    // shape. CAVEAT measured in round 10: below ~100k nodes the wall is
+    // ~100% per-superstep scheduling/barrier overhead and the |E| slope
+    // is invisible (a 2× graph can run FASTER than 1×) — measure the
+    // slope at sizes where |E| work dominates (≥256k nodes) and treat
+    // small-N walls as the per-round constant, not a rate. Each result
+    // line carries the run config (master/cpus/heap) so a reader can
+    // reproduce the number. Usage: centrality-smoke N [nSources [reps]]
+    case "centrality-smoke" :: n :: rest if rest.length <= 2 =>
       import org.apache.spark.sql.functions._
       val nNodes = n.toLong
       val nSrc = rest.headOption.map(_.toInt).getOrElse(64)
+      val reps = rest.drop(1).headOption.map(_.toInt).getOrElse(1)
       val depth = math.ceil(math.log(nNodes.toDouble) / math.log(4)).toLong
       val edges = spark.range(nNodes)
         .select(col("id"), explode(array((0 to 3).map(c =>
@@ -501,21 +537,24 @@ object Main {
         .select(concat(lit("n"), col("id")).as("_n"))
       val g = new PropertyGraph(nodes, edges)
       val sources = (0L until math.min(nSrc.toLong, nNodes)).map(i => s"n$i")
-      val t0 = System.nanoTime()
-      val btw = Route.betweenness(spark, g, sources, "w", maxLocalEdges = 0L)
-        .agg(count(lit(1)).as("n"), sum(col("betweenness")).as("mass")).head
-      val tBtw = (System.nanoTime() - t0) / 1e9
-      val t1 = System.nanoTime()
-      val hits = graft.route.Hits.hits(spark,
-          edges.select(col("_u").as("src"), col("_v").as("dst")), 3)
-        .agg(count(lit(1)).as("n"), sum(col("auth")).as("auth")).head
-      val tHits = (System.nanoTime() - t1) / 1e9
-      val eCount = 4L * nNodes
-      println(f"centrality-smoke: nodes=$nNodes edges=$eCount depth~$depth " +
-        f"sources=${sources.size} btw[wall=$tBtw%.1fs scored=${btw.getLong(0)} " +
-        f"mass=${btw.getDouble(1)}%.1f ${tBtw * 1e9 / (eCount * 2 * depth)}%.1f ns/(edge·step)] " +
-        f"hits[wall=$tHits%.1fs nodes=${hits.getLong(0)} " +
-        f"${tHits * 1e9 / (eCount * 3)}%.1f ns/(edge·iter)]")
+      for (rep <- 1 to reps) {
+        val t0 = System.nanoTime()
+        val btw = Route.betweenness(spark, g, sources, "w", maxLocalEdges = 0L)
+          .agg(count(lit(1)).as("n"), sum(col("betweenness")).as("mass")).head
+        val tBtw = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val hits = graft.route.Hits.hits(spark,
+            edges.select(col("_u").as("src"), col("_v").as("dst")), 3)
+          .agg(count(lit(1)).as("n"), sum(col("auth")).as("auth")).head
+        val tHits = (System.nanoTime() - t1) / 1e9
+        val eCount = 4L * nNodes
+        println(f"centrality-smoke: nodes=$nNodes edges=$eCount depth~$depth " +
+          f"sources=${sources.size} rep=$rep/$reps ${runConfig(spark)} " +
+          f"btw[wall=$tBtw%.1fs scored=${btw.getLong(0)} " +
+          f"mass=${btw.getDouble(1)}%.1f ${tBtw * 1e9 / (eCount * 2 * depth)}%.1f ns/(edge*step)] " +
+          f"hits[wall=$tHits%.1fs nodes=${hits.getLong(0)} " +
+          f"${tHits * 1e9 / (eCount * 3)}%.1f ns/(edge*iter)]")
+      }
 
     // fixed-iteration DataFrame PageRank (dangling mass dropped)
     case "pagerank" :: pkg :: iters :: Nil =>
@@ -549,14 +588,25 @@ object Main {
           |  ann-topk <embeddings.parquet> <index> <queryVecId> <k>
           |  compact-index <indexedTable>
           |  ann-smoke <nVectors> [dim]
-          |  media-smoke <nMedia>
-          |  centrality-smoke <nNodes> [nSources]
+          |  media-smoke <nMedia> [reps]
+          |  centrality-smoke <nNodes> [nSources [reps]]
           |  pagerank <pkg> <iters>
           |  export-gpkg <pkg> <out.gpkg>
           |  import-gpkg <in.gpkg>
           |  export-gpkg-parquet <pkg> <outdir>
           |  import-gpkg-parquet <dir>""".stripMargin)
       sys.exit(2)
+  }
+
+  /** One-token-per-fact run config stamped into every smoke result line:
+    * without master/cpus/heap a committed number cannot be attributed
+    * (VERDICT r10 could not tell whether the 43 s Kryo claim ran at
+    * local[32] or local[8]).
+    */
+  private def runConfig(spark: SparkSession): String = {
+    val rt = Runtime.getRuntime
+    s"master=${spark.sparkContext.master} cpus=${rt.availableProcessors()} " +
+      s"heap=${rt.maxMemory() >> 20}MB"
   }
 
   private def session(): SparkSession = {

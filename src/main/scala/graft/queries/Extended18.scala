@@ -228,11 +228,10 @@ object Extended18 {
       // throwaway checkpoint: reclaim it now — a bench session replays
       // 14 queries × reps and a tmpfs checkpoint left behind is RAM held
       // until process exit (the sink table is already materialized)
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(Paths.get(ckpt)).iterator().asScala.toSeq
-          .reverseIterator.foreach(java.nio.file.Files.deleteIfExists(_))
-      } catch { case scala.util.control.NonFatal(_) => () }
+      try
+        graft.store.GraphPackage.walkTree(Paths.get(ckpt))(
+          _.toSeq.reverseIterator.foreach(java.nio.file.Files.deleteIfExists(_)))
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     s.table(name)
   }
