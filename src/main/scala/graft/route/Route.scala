@@ -736,10 +736,20 @@ object Route {
       srcVids.sliding(2).forall(p => p(0) < p(1))),
       "brandesDeltas takes a sorted, deduplicated chunk of <= 64 sources")
     // ---- phase 1: dist + path count σ, all sources at once ----
-    var fw: GXGraph[SrcDistSig, Double] = graph.mapVertices { (vid, _) =>
+    // Each vertex carries (state, changed-this-round): the convergence
+    // predicate is evaluated INSIDE the vertex program (old attr is right
+    // there) and counted on `triplets`, so one job per round both decides
+    // convergence and materializes the new replicated view — versus the
+    // previous two (vertex-join compare + edges.count), i.e. one scheduler
+    // barrier per superstep instead of two on a cluster. Counting on
+    // triplets skips isolated vertices, which is safe: a vertex with no
+    // edges can neither send nor receive influence — its recount is
+    // already final in `next` — and the recount of a degree-0 vertex is
+    // identical from round 1 on, so it never flips the predicate anyway.
+    var fw: GXGraph[(SrcDistSig, Boolean), Double] = graph.mapVertices { (vid, _) =>
       val si = java.util.Arrays.binarySearch(srcVids, vid)
-      if (si >= 0) new SrcDistSig(Array(si), Array(0.0), Array(1.0))
-      else SrcDistSig.empty
+      (if (si >= 0) new SrcDistSig(Array(si), Array(0.0), Array(1.0))
+       else SrcDistSig.empty, true)
     }.cache()
     var iter = 0
     var changed = true
@@ -747,8 +757,8 @@ object Route {
     while (changed && iter < maxIters) {
       val tRound = System.nanoTime()
       val msgs = fw.aggregateMessages[SrcDistSig](
-        ctx => if (!ctx.srcAttr.isEmpty) {
-          val s = ctx.srcAttr
+        ctx => if (!ctx.srcAttr._1.isEmpty) {
+          val s = ctx.srcAttr._1
           val w = ctx.attr
           val nd = new Array[Double](s.dist.length)
           var i = 0
@@ -758,19 +768,19 @@ object Route {
           ctx.sendToDst(new SrcDistSig(s.idx, nd, s.sig))
         },
         SrcDistSig.merge)
-      val next = fw.outerJoinVertices(msgs) { (vid, _, m) =>
+      val next = fw.outerJoinVertices(msgs) { (vid, old, m) =>
         val recount = m.getOrElse(SrcDistSig.empty)
         val si = java.util.Arrays.binarySearch(srcVids, vid)
-        if (si >= 0) SrcDistSig.withSelf(recount, si) else recount
+        val state = if (si >= 0) SrcDistSig.withSelf(recount, si) else recount
+        (state, !state.same(old._1))
       }.cache()
-      changed = next.vertices.join(fw.vertices)
-        .filter { case (_, (a, b)) => !a.same(b) }.count() > 0
-      // materialize the NEW graph's edge/replicated view before dropping
-      // the old one: the changed-count above touches only next.vertices,
-      // and an aggregateMessages whose replicated view still points at an
-      // unpersisted predecessor re-derives the whole round chain
+      // the ONE job per round: counts changed edge-adjacent vertices and
+      // (transitively) materializes msgs, next.vertices, and the new
+      // replicated view — an aggregateMessages whose view still pointed at
+      // an unpersisted predecessor would re-derive the whole round chain
       // (quadratic in rounds — measured 5x per-round cliff at 8k nodes)
-      next.edges.count()
+      changed = next.triplets
+        .filter(t => t.srcAttr._2 || t.dstAttr._2).count() > 0
       fw.unpersistVertices(blocking = false)
       fw.edges.unpersist(blocking = false)
       fw = next
@@ -780,8 +790,9 @@ object Route {
     if (dbg)
       System.err.println(s"[fixpoint] brandes phase1 rounds=$iter converged=${!changed}")
     // ---- phase 2: dependency δ back up each source's shortest-path DAG ----
-    var bw: GXGraph[(SrcDistSig, DeltaVec), Double] =
-      fw.mapVertices((_, ds) => (ds, DeltaVec.empty)).cache()
+    // same (state..., changed) + triplets-count protocol as phase 1
+    var bw: GXGraph[(SrcDistSig, DeltaVec, Boolean), Double] =
+      fw.mapVertices((_, ds) => (ds._1, DeltaVec.empty, true)).cache()
     changed = true
     iter = 0
     while (changed && iter < maxIters) {
@@ -823,11 +834,12 @@ object Route {
             java.util.Arrays.copyOf(oi, k), java.util.Arrays.copyOf(od, k)))
         },
         DeltaVec.merge)
-      val next = bw.outerJoinVertices(msgs)((_, old, m) =>
-        (old._1, m.getOrElse(DeltaVec.empty))).cache()
-      changed = next.vertices.join(bw.vertices)
-        .filter { case (_, (a, b)) => !a._2.same(b._2) }.count() > 0
-      next.edges.count()
+      val next = bw.outerJoinVertices(msgs) { (_, old, m) =>
+        val nd = m.getOrElse(DeltaVec.empty)
+        (old._1, nd, !nd.same(old._2))
+      }.cache()
+      changed = next.triplets
+        .filter(t => t.srcAttr._3 || t.dstAttr._3).count() > 0
       bw.unpersistVertices(blocking = false)
       bw.edges.unpersist(blocking = false)
       bw = next
@@ -837,7 +849,7 @@ object Route {
     if (dbg)
       System.err.println(s"[fixpoint] brandes phase2 rounds=$iter converged=${!changed}")
     val deltas = bw.vertices
-      .flatMap { case (vid, (_, dv)) =>
+      .flatMap { case (vid, (_, dv, _)) =>
         // own-source term excluded; ascending-idx fold is the canonical
         // (partitioning-independent) summation order
         var total = 0.0
