@@ -128,6 +128,30 @@ private[route] object DeltaVec {
     if (k == n) new DeltaVec(oi, od)
     else new DeltaVec(java.util.Arrays.copyOf(oi, k), java.util.Arrays.copyOf(od, k))
   }
+
+  /** per-key MINIMUM over two sorted vectors (merge-join) — the landmark-
+    * distance combiner ([[Route.landmarkDistances]]); same layout as
+    * [[merge]], min instead of sum on overlapping keys.
+    */
+  def minMerge(a: DeltaVec, b: DeltaVec): DeltaVec = {
+    if (a.idx.length == 0) return b
+    if (b.idx.length == 0) return a
+    val n = a.idx.length + b.idx.length
+    val oi = new Array[Int](n)
+    val od = new Array[Double](n)
+    var i = 0; var j = 0; var k = 0
+    while (i < a.idx.length && j < b.idx.length) {
+      val ai = a.idx(i); val bj = b.idx(j)
+      if (ai < bj) { oi(k) = ai; od(k) = a.del(i); i += 1 }
+      else if (bj < ai) { oi(k) = bj; od(k) = b.del(j); j += 1 }
+      else { oi(k) = ai; od(k) = math.min(a.del(i), b.del(j)); i += 1; j += 1 }
+      k += 1
+    }
+    while (i < a.idx.length) { oi(k) = a.idx(i); od(k) = a.del(i); i += 1; k += 1 }
+    while (j < b.idx.length) { oi(k) = b.idx(j); od(k) = b.del(j); j += 1; k += 1 }
+    if (k == n) new DeltaVec(oi, od)
+    else new DeltaVec(java.util.Arrays.copyOf(oi, k), java.util.Arrays.copyOf(od, k))
+  }
 }
 
 /** Routing analytics on GraphX — the distributed replacement for the
@@ -436,30 +460,49 @@ object Route {
     val missing = landmarks.distinct.toSet -- lmVids.values.toSet
     require(missing.isEmpty, s"unknown landmark node(s): ${missing.mkString(", ")}")
 
-    type State = Map[VertexId, Double]
-    val init = rg.graph.mapVertices((vid, _) =>
-      if (lmVids.contains(vid)) Map(vid -> 0.0) else Map.empty[VertexId, Double])
-    def merge(a: State, b: State): State =
-      (a.keySet ++ b.keySet).iterator.map { k =>
-        k -> math.min(a.getOrElse(k, Double.PositiveInfinity),
-          b.getOrElse(k, Double.PositiveInfinity))
-      }.toMap
-    val result = init.pregel(Map.empty[VertexId, Double])(
-      vprog = (_, state, msg) => merge(state, msg),
+    // per-landmark distance state as sorted primitive arrays keyed by the
+    // landmark's index in lmSorted (the same serialization discipline as
+    // the Brandes [[SrcDistSig]]: a ≤64-entry Map shipped per edge per
+    // superstep was the dominant message cost). DeltaVec is reused as the
+    // (idx, double) container with the per-key MIN combiner.
+    val lmSorted: Array[VertexId] = lmVids.keys.toArray.sorted
+    val init = rg.graph.mapVertices { (vid, _) =>
+      val i = java.util.Arrays.binarySearch(lmSorted, vid)
+      if (i >= 0) new DeltaVec(Array(i), Array(0.0)) else DeltaVec.empty
+    }
+    val result = init.pregel(DeltaVec.empty)(
+      vprog = (_, state, msg) => DeltaVec.minMerge(state, msg),
       sendMsg = t => {
-        val candidate = t.srcAttr.map { case (lm, d) => lm -> (d + t.attr) }
-        val improved = candidate.filter { case (lm, d) =>
-          d < t.dstAttr.getOrElse(lm, Double.PositiveInfinity)
+        // candidates = src distances + w, filtered to strict improvements
+        // over dst's current entry (merge-join; both sides idx-sorted)
+        val s = t.srcAttr
+        val d = t.dstAttr
+        val w = t.attr
+        val oi = new Array[Int](s.idx.length)
+        val od = new Array[Double](s.idx.length)
+        var i = 0; var j = 0; var k = 0
+        while (i < s.idx.length) {
+          val cand = s.del(i) + w
+          val si = s.idx(i)
+          while (j < d.idx.length && d.idx(j) < si) j += 1
+          val cur =
+            if (j < d.idx.length && d.idx(j) == si) d.del(j)
+            else Double.PositiveInfinity
+          if (cand < cur) { oi(k) = si; od(k) = cand; k += 1 }
+          i += 1
         }
-        if (improved.nonEmpty) Iterator((t.dstId, improved)) else Iterator.empty
+        if (k > 0) Iterator((t.dstId, new DeltaVec(
+          java.util.Arrays.copyOf(oi, k), java.util.Arrays.copyOf(od, k))))
+        else Iterator.empty
       },
-      mergeMsg = merge)
+      mergeMsg = DeltaVec.minMerge)
 
     // landmark names are already on the driver — label vids with a plain
     // map instead of a second join over the full node-id table
     val lmNames = lmVids
     val rows = result.vertices.flatMap { case (vid, dists) =>
-      dists.iterator.map { case (lm, d) => (vid, lmNames(lm), d) }
+      dists.idx.indices.iterator.map(i =>
+        (vid, lmNames(lmSorted(dists.idx(i))), dists.del(i)))
     }.toDF("_vid", "landmark", "distance")
     rows.join(rg.idOf, "_vid")
       .select(col("_n"), col("landmark"), col("distance"))

@@ -110,6 +110,33 @@ class BrandesStateSpec extends AnyFunSuite {
     assert(DeltaVec.merge(a, DeltaVec.empty).same(a))
   }
 
+  test("DeltaVec.minMerge takes per-key minima and keeps sorted order; empty is identity") {
+    val a = dv(1 -> 0.5, 4 -> 2.0, 7 -> 1.0)
+    val b = dv(0 -> 1.0, 4 -> 0.25, 7 -> 3.0)
+    val m = DeltaVec.minMerge(a, b)
+    assert(m.idx.toSeq == Seq(0, 1, 4, 7))
+    assert(toMap(m) == Map(0 -> 1.0, 1 -> 0.5, 4 -> 0.25, 7 -> 1.0))
+    assert(DeltaVec.minMerge(DeltaVec.empty, a).same(a))
+    assert(DeltaVec.minMerge(a, DeltaVec.empty).same(a))
+  }
+
+  test("DeltaVec.minMerge agrees with the Map-based landmark merge on randomized inputs") {
+    val rnd = new scala.util.Random(42L)
+    for (_ <- 1 to 500) {
+      def randVec(): Seq[(Int, Double)] = {
+        val keys = rnd.shuffle((0 until 64).toList).take(rnd.nextInt(10))
+        keys.map(k => k -> rnd.nextDouble())
+      }
+      val ea = randVec(); val eb = randVec()
+      val got = toMap(DeltaVec.minMerge(dv(ea: _*), dv(eb: _*)))
+      val want = (ea.toMap.keySet ++ eb.toMap.keySet).iterator.map { k =>
+        k -> math.min(ea.toMap.getOrElse(k, Double.PositiveInfinity),
+          eb.toMap.getOrElse(k, Double.PositiveInfinity))
+      }.toMap
+      assert(got == want, s"a=$ea b=$eb")
+    }
+  }
+
   test("DeltaVec.merge agrees with per-key sums on randomized inputs") {
     val rnd = new scala.util.Random(11L)
     for (_ <- 1 to 500) {
