@@ -50,12 +50,34 @@ object Tables {
   val sessionRuntimeConfigs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
-    "spark.sql.adaptive.enabled" -> "true")
+    "spark.sql.adaptive.enabled" -> "true",
+    // AQE's post-shuffle coalescing is bytes-based (default floor 1 MB),
+    // which serializes CPU-DENSE small shuffles onto one core: profiled at
+    // sf0.1, the containment pair-explosion stage ran as ONE task writing
+    // 24 MB while 31 cores idled, because its 0.9 MB input coalesced to a
+    // single partition. A 64 KB floor keeps such stages parallel. Scale-
+    // safe: with parallelismFirst (default true) the floor only binds when
+    // data-per-core is under ~1 MB — at production shuffle sizes the
+    // advisory/parallelism targets dominate and this knob never engages.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "64k")
+
+  /** Dev-loop config overrides (the driver never sets it): semicolon-
+    * separated `key=value` pairs from `SPARK_GRAFT_CONF`, applied LAST so
+    * an A/B experiment can flip one knob without a code edit.
+    */
+  private def envConfigs: Map[String, String] =
+    sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(';').toSeq)
+      .map(_.trim).filter(_.contains('='))
+      .map { kv => val i = kv.indexOf('='); kv.take(i) -> kv.drop(i + 1) }
+      .toMap
 
   /** Builder-time config every entry point needs (applied once before the
     * SparkContext exists).
     */
-  val sessionConfigs: Map[String, String] = sessionRuntimeConfigs ++ Map(
+  def sessionConfigs: Map[String, String] = sessionConfigsBase ++ envConfigs
+
+  private val sessionConfigsBase: Map[String, String] = sessionRuntimeConfigs ++ Map(
     // Kryo for RDD/GraphX shuffle payloads (SQL uses UnsafeRow and is
     // unaffected): the graph fixpoints ship per-vertex state as messages
     // every superstep, and serialization is their dominant constant. The

@@ -528,36 +528,14 @@ object Dedup {
     * member with the minimum id in its component (the representative).
     * Returns (id, cluster).
     */
-  def clusters(pairs: DataFrame): DataFrame = {
-    import org.apache.spark.graphx.{Edge => GXEdge, Graph => GXGraph}
-    val spark = pairs.sparkSession
-    import spark.implicits._
-    // near-dup pair graphs are small relative to the corpus, but not
-    // constant-size: partition count scales with the edge count (~1M
-    // edges/partition, capped at defaultParallelism) so toy graphs avoid
-    // per-Pregel-iteration task overhead while a billion-pair graph still
-    // gets full parallelism. The persist covers both the count and the
-    // Pregel iterations (CC runs eagerly), then releases.
-    val p = pairs.select(col("a").cast("long"), col("b").cast("long")).persist()
-    try {
-      val nEdges = p.count()
-      val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism.toLong,
-        nEdges / 1000000L + 1L)).toInt
-      val edges = p.rdd.map(r => GXEdge(r.getLong(0), r.getLong(1), 1))
-        .coalesce(parts)
-      val g = GXGraph.fromEdges(edges, 0)
-      val cc = g.connectedComponents()
-      // the eager localCheckpoint materializes the labels BEFORE the two
-      // GraphX graphs (both internally cached) are released — without the
-      // unpersists every invocation stranded a graph pair in executor
-      // memory for the life of the session (the leak class the bench's
-      // clearCache() cannot reach: RDD caches are not catalog entries)
-      val out = cc.vertices.toDF("id", "cluster").localCheckpoint()
-      cc.unpersist(blocking = false)
-      g.unpersist(blocking = false)
-      out
-    } finally p.unpersist(blocking = false)
-  }
+  def clusters(pairs: DataFrame): DataFrame =
+    // min-label CC via FastCC: forest contraction under the single-task
+    // gate (near-dup pair graphs are corpus-summary-sized), the GraphX
+    // Pregel fixpoint above it — identical labels either way, and the
+    // result is checkpoint-materialized so no RDD cache outlives the call
+    graft.graph.FastCC.labels(
+      pairs.select(col("a").cast("long"), col("b").cast("long")),
+      "id", "cluster")
 
   /** End-to-end near-duplicate removal: MinHash-LSH candidate pairs →
     * Jaccard-verified edges → connected components → keep each cluster's

@@ -135,14 +135,11 @@ object Extended3 {
         .select(explode(expr(
           "transform(slice(ks, 2, size(ks)), (x, i) -> struct(x AS a, ks[i div 2] AS b))")).as("e"))
         .select("e.a", "e.b")
-      val g = org.apache.spark.graphx.Graph
-        .fromEdgeTuples(ed.as[(Long, Long)].rdd.coalesce(8), 0)
-      val cc = g.connectedComponents()
-      // materialize labels, release both cached GraphX graphs (per-rep
-      // leak otherwise — RDD caches survive the bench's clearCache())
-      val labels = cc.vertices.toDF("o_orderkey", "component").localCheckpoint()
-      cc.unpersist(blocking = false)
-      g.unpersist(blocking = false)
+      // min-label CC via FastCC's forest contraction (2 jobs, no Pregel
+      // supersteps; GraphX fallback above the gate) — identical labels,
+      // checkpoint-materialized so no RDD cache outlives the call
+      val labels = graft.graph.FastCC.labels(
+        ed.select("a", "b"), "o_orderkey", "component")
       labels.orderBy("o_orderkey")
     })
   )

@@ -44,15 +44,12 @@ object Extended37 {
                (cx + dx) * 1000003 + (cy + dy))))""")).as("nbr"))
       val edges = ring.join(dense.select(col("id").as("ib")),
         col("nbr") === col("ib")).select("ia", "ib")
-      val g = org.apache.spark.graphx.Graph.fromEdgeTuples(
-        edges.as[(Long, Long)].rdd.coalesce(4), 0)
-      val cc = g.connectedComponents()
-      // localCheckpoint cuts the lineage into GraphX's cached RDDs, so
-      // its internal caches release immediately (j9 discipline) without
-      // a driver round-trip of the result rows
-      val labels = cc.vertices.toDF("id", "cluster_id").localCheckpoint()
-      cc.unpersist(blocking = false)
-      g.unpersist(blocking = false)
+      // min-label CC over the dense-cell graph: FastCC's forest contraction
+      // (2 jobs) replaces the O(diameter) GraphX Pregel supersteps — same
+      // labels, same localCheckpoint lifecycle, GraphX fallback above the
+      // single-task gate
+      val labels = graft.graph.FastCC.labels(
+        edges.select("ia", "ib"), "id", "cluster_id")
       dense.join(labels, "id")
         .groupBy("cluster_id")
         .agg(count(lit(1)).as("n_cells"), sum("n").as("n_points"))

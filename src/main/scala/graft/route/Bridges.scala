@@ -100,14 +100,9 @@ object Bridges {
     val nb = canon.join(br, Seq("u", "v"), "left_anti")
     val nodes = canon.select(col("u").as("node"))
       .union(canon.select(col("v"))).distinct()
-    val labels = {
-      val g = org.apache.spark.graphx.Graph.fromEdgeTuples(
-        nb.as[(Long, Long)].rdd, 0)
-      val c = g.connectedComponents()
-      val out = c.vertices.toDF("node", "comp").localCheckpoint()
-      c.unpersist(blocking = false); g.unpersist(blocking = false)
-      out
-    }
+    // min-label CC via FastCC (forest contraction under the gate, GraphX
+    // above it) — identical labels, checkpoint-materialized
+    val labels = graft.graph.FastCC.labels(nb.select("u", "v"), "node", "comp")
     nodes.join(labels, Seq("node"), "left")
       .select(col("node"), coalesce(col("comp"), col("node")).as("comp"))
   }
@@ -188,15 +183,8 @@ object Bridges {
     // min-node roots: a node is a root iff no smaller node reaches it —
     // cheapest correct choice: GraphX CC labels each node with the min
     // member, roots are the nodes equal to their label
-    val cc = {
-      import spark.implicits._
-      val g = org.apache.spark.graphx.Graph.fromEdgeTuples(
-        forest.as[(Long, Long)].rdd, 0)
-      val c = g.connectedComponents()
-      val labels = c.vertices.toDF("node", "comp").localCheckpoint()
-      c.unpersist(blocking = false); g.unpersist(blocking = false)
-      labels
-    }
+    val cc = graft.graph.FastCC.labels(
+      forest.select(col("u"), col("v")), "node", "comp")
     var frontier = cc.filter(col("node") === col("comp"))
       .select(col("node"), lit(null).cast("long").as("parent"),
         lit(0).as("depth"))

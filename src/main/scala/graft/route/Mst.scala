@@ -105,15 +105,8 @@ object Mst {
         // contract along the chosen component pairs (a graph on component
         // ids, at most one edge per component -> GraphX CC relabels every
         // merge tree to its min member)
-        val merged = {
-          val g = org.apache.spark.graphx.Graph.fromEdgeTuples(
-            chosen.select(col("cu"), col("cv")).as[(Long, Long)].rdd, 0)
-          val cc = g.connectedComponents()
-          val labels = cc.vertices.toDF("c", "newc").localCheckpoint()
-          cc.unpersist(blocking = false)
-          g.unpersist(blocking = false)
-          labels
-        }
+        val merged = graft.graph.FastCC.labels(
+          chosen.select(col("cu"), col("cv")), "c", "newc")
         comp = comp.join(merged, Seq("c"), "left")
           .select(col("node"), coalesce(col("newc"), col("c")).as("c"))
           .localCheckpoint()
