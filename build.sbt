@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// pass the forked JVM's stdout through unwrapped: sbt's default logger
+// prefixes every line with [info], which is why the driver's bench parser
+// kept recording `parsed: null` — the summary JSON line never appeared
+// bare on stdout (VERDICT r11 next-#5)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

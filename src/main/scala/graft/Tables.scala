@@ -50,16 +50,16 @@ object Tables {
   val sessionRuntimeConfigs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
-    "spark.sql.adaptive.enabled" -> "true",
-    // AQE's post-shuffle coalescing is bytes-based (default floor 1 MB),
-    // which serializes CPU-DENSE small shuffles onto one core: profiled at
-    // sf0.1, the containment pair-explosion stage ran as ONE task writing
-    // 24 MB while 31 cores idled, because its 0.9 MB input coalesced to a
-    // single partition. A 64 KB floor keeps such stages parallel. Scale-
-    // safe: with parallelismFirst (default true) the floor only binds when
-    // data-per-core is under ~1 MB — at production shuffle sizes the
-    // advisory/parallelism targets dominate and this knob never engages.
-    "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "64k")
+    // NOTE on AQE's coalescing floor (minPartitionSize): an A/B over the
+    // whole registry showed a global 64 KB floor is a wash-to-loss — it
+    // rescues CPU-dense small shuffles (containment pair explosion: one
+    // task writing 24 MB while 31 cores idled) but taxes every iterative
+    // multi-job query with tiny-task scheduling (r12_hits 2.8 -> 8.7 s,
+    // j31 4.2 -> 6.2 s). CPU-density is per-OPERATOR knowledge AQE's
+    // bytes-based heuristic cannot see, so the dense spots pin their own
+    // parallelism (Par.fanOut / explicit repartition, both AQE-immune
+    // REPARTITION_BY_NUM) and the global default stays.
+    "spark.sql.adaptive.enabled" -> "true")
 
   /** Dev-loop config overrides (the driver never sets it): semicolon-
     * separated `key=value` pairs from `SPARK_GRAFT_CONF`, applied LAST so
@@ -95,6 +95,10 @@ object Tables {
     // the Brandes fixpoint's primitive-array message types. Registration
     // is an encoding hint only — values are serializer-invariant, and
     // registrationRequired stays false so unlisted classes still work.
+    // The Spark-INTERNAL names are validated with Class.forName at
+    // builder time and silently dropped if a Spark upgrade moves them —
+    // eager registration of a stale name would otherwise fail every
+    // session at startup over a pure encoding hint (ADVICE r11).
     "spark.kryo.classesToRegister" -> Seq(
       "org.apache.spark.graphx.Edge",
       "org.apache.spark.graphx.impl.EdgePartition",
@@ -103,5 +107,12 @@ object Tables {
       "org.apache.spark.util.collection.BitSet",
       "org.apache.spark.util.collection.OpenHashSet",
       "graft.route.SrcDistSig",
-      "graft.route.DeltaVec").mkString(","))
+      "graft.route.DeltaVec")
+      .filter { name =>
+        val ok = scala.util.Try(Class.forName(name)).isSuccess
+        if (!ok) System.err.println(
+          s"[tables] WARN dropping unknown Kryo registration $name " +
+            "(moved/renamed in this Spark build?)")
+        ok
+      }.mkString(","))
 }

@@ -495,9 +495,13 @@ object Main {
         }
       } finally
         // the synthetic corpus can be GBs at large N — reclaim tmp now
-        // rather than leaking a parquet tree per invocation
-        GraphPackage.walkTree(tmp)(
+        // rather than leaking a parquet tree per invocation. NonFatal-
+        // guarded so a cleanup IO failure (e.g. a handle still open after
+        // a failed decode pass) never masks the primary exception from
+        // the try body (the Extended18 cleanup discipline).
+        try GraphPackage.walkTree(tmp)(
           _.toSeq.reverseIterator.foreach(Files.deleteIfExists(_)))
+        catch { case scala.util.control.NonFatal(_) => () }
 
     // Graph-fixpoint scale smoke (VERDICT r9 next-#6b): a deterministic
     // constant-out-degree-4 doubling graph (i → 4i+c mod N, c ∈ 0..3;

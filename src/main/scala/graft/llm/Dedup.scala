@@ -135,7 +135,10 @@ object Dedup {
     val b = buckets.toDF("b", "band", "bucket")
     val cand = a.join(b, Seq("band", "bucket")).filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    val sh = df.select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
+    // fanOut: the shingle-set computation is per-row CPU; a single-split
+    // scan (single-row-group file) would run it on one core
+    val sh = graft.operators.Par.fanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
     val withSets = cand
       .join(sh.toDF("a", "sh_a"), "a")
       .join(sh.toDF("b", "sh_b"), "b")

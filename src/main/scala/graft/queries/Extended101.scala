@@ -76,12 +76,17 @@ object Extended101 {
         .filter(col("x.l_partkey") =!= col("y.l_partkey"))
         .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
         .distinct()
-        .localCheckpoint() // feeds the count, the probe, and the reversal
-      val recip = edges.as("e").join(
-        edges.select(col("dst").as("src"), col("src").as("dst")).as("r"),
-        Seq("src", "dst"), "left_semi")
-      edges.agg(count(lit(1)).as("n_edges")).crossJoin(
-          recip.agg(count(lit(1)).as("n_recip")))
+      // reciprocity from ONE canonical-pair aggregation: each unordered
+      // pair {u,v} (src ≠ dst by the filter) carries c ∈ {1,2} distinct
+      // directions, so n_edges = Σc and n_recip = 2·|{c = 2}| — exactly
+      // the former reversal semi-join's count without materializing the
+      // edge set (no checkpoint), probing it, or a second count pass
+      edges
+        .groupBy(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n_edges"),
+          sum(when(col("c") === 2, 2L).otherwise(0L)).as("n_recip"))
         .select(col("n_edges"), col("n_recip"),
           round(col("n_recip").cast("double") / col("n_edges").cast("double"),
             6).as("reciprocity"))

@@ -69,7 +69,8 @@ object Extended102 {
       // split once to a char array and pair by O(1) element_at —
       // substring(text, i, 2) re-scans the string per i (O(n²)/doc,
       // measured 12.7 s → ~1 s at sf0.1)
-      val bg = t(s, d, "documents")
+      val bg = graft.operators.Par.fanOut(
+          t(s, d, "documents").select(col("source"), col("text")))
         .filter(length(col("text")) >= 2)
         .select(col("source"), split(col("text"), "").as("cs"))
         .select(col("source"), explode(expr(

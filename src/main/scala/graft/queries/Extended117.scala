@@ -43,7 +43,8 @@ object Extended117 {
 
   val queries: Map[String, Q] = Map(
     "t35_textrank_keywords" -> ((s, d) => {
-      val words = t(s, d, "documents")
+      val words = graft.operators.Par.fanOut(
+          t(s, d, "documents").select(col("doc_id"), col("text")))
         .select(col("doc_id"), posexplode(split(col("text"), " "))
           .as(Seq("pos", "w")))
         .filter(length(col("w")) > 0)

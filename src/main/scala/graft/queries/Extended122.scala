@@ -69,11 +69,21 @@ object Extended122 {
     "t37_lang_trigram_distance" -> ((s, d) => {
       // NOTE: Spark's sequence(1, 0) counts DOWN — short texts must hit
       // the empty-array branch, not a descending range
-      val grams = t(s, d, "documents")
+      // fanout: the trigram explode is the CPU center and the single-file
+      // scan gives it one split; split once to a char array so each gram
+      // is O(1) element_at instead of substring's O(n) re-scan (the t32
+      // discipline); checkpoint the lang×gram counts — THREE consumers
+      // (norms + both self-join sides) otherwise re-run the corpus explode
+      val grams = graft.operators.Par.fanOut(
+          t(s, d, "documents").select(col("lang"), col("text")))
+        .filter(length(col("text")) >= 3)
+        .select(col("lang"), split(col("text"), "").as("cs"))
         .select(col("lang"), explode(expr(
-          "IF(length(text) >= 3, transform(sequence(1, length(text) - 2), " +
-            "i -> substring(text, i, 3)), array())")).as("g"))
+          """transform(sequence(1, size(cs) - 2),
+             i -> concat(element_at(cs, i), element_at(cs, i + 1),
+                         element_at(cs, i + 2)))""")).as("g"))
         .groupBy("lang", "g").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
       val norms = grams.groupBy("lang")
         .agg(sum(col("c").cast("decimal(38,0)") * col("c")).as("nrm"))
       val dots = grams.as("x").join(grams.as("y"),

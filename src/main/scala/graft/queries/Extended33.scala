@@ -81,7 +81,11 @@ object Extended33 {
 
     // ---- s13: one-pass column profile ----
     "s13_profile_stats" -> ((s, d) => {
-      val o = t(s, d, "orders")
+      // fanOut: three countDistincts plan as an expand (3x rows) feeding
+      // multi-phase aggregation — per-row work a single-split scan would
+      // serialize
+      val o = graft.operators.Par.fanOut(t(s, d, "orders")
+        .select("o_custkey", "o_orderstatus", "o_totalprice"))
       val agg = o.agg(
         count(lit(1)).as("n"),
         count_if(col("o_custkey").isNull).as("null_custkey"),

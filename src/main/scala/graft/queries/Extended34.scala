@@ -58,7 +58,11 @@ object Extended34 {
       // three-word string — containment is computed from counts only, so a
       // hash stands in for the shingle with P(any collision) ~ pairs·2⁻⁶⁴
       // (the Bridges tag discipline; the DuckDB oracle keeps the strings)
-      val sh = t(s, d, "documents")
+      // fanOut: the shingle explode is the query's CPU center and the
+      // single-file scan gives it one split — spread the (doc_id, text)
+      // rows across the session's cores before splitting
+      val sh = graft.operators.Par.fanOut(
+          t(s, d, "documents").select(col("doc_id"), col("text")))
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
         .filter(size(col("ws")) >= 3)
         .select(col("doc_id"), explode(expr(
@@ -76,7 +80,14 @@ object Extended34 {
       // max df = 7; load-bearing at corpus scale).
       val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
         .filter(col("df") <= 64).select("sh")
-      val shr = sh.join(rare, "sh").localCheckpoint()
+      // pin the pair stage's parallelism: the self-join below is the
+      // query's hottest stage (profiled: ONE 24 MB-write task under AQE's
+      // bytes-based coalescing), and a checkpoint hash-partitioned by sh
+      // with an EXPLICIT partition count (REPARTITION_BY_NUM — AQE keeps
+      // it) lets both self-join sides reuse this one exchange
+      val shr = sh.join(rare, "sh")
+        .repartition(s.sparkContext.defaultParallelism, col("sh"))
+        .localCheckpoint()
       val inter = shr.as("x").join(shr.as("y"), Seq("sh"))
         .filter(col("x.doc_id") =!= col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))

@@ -125,7 +125,10 @@ object Extended60 {
       val seeds = array((0 until 4).map(lit): _*)
       def bucket(seed: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column) =
         substring(md5(concat_ws(":", seed, key).cast("binary")), 1, 2)
-      val li = t(s, d, "lineitem").select(col("l_partkey"))
+      // fanOut: 4 md5 buckets per row over the fact table is per-row CPU;
+      // a single-split scan would hash on one core
+      val li = graft.operators.Par.fanOut(
+        t(s, d, "lineitem").select(col("l_partkey")))
       // d=4 hash rows × w=256 buckets; partial agg bounds the shuffle at
       // d·w cells per map partition — the mergeable-sketch contract
       val counters = li.select(explode(seeds).as("seed"), col("l_partkey"))

@@ -42,7 +42,8 @@ object Extended65 {
     // ---- t24: per-doc first-occurrence n-gram novelty ----
     "t24_ngram_novelty" -> ((s, d) => {
       val n = 3
-      val w = t(s, d, "documents")
+      val w = graft.operators.Par.fanOut(
+          t(s, d, "documents").select(col("doc_id"), col("text")))
         .select(col("doc_id"), split(col("text"), " ").as("words"))
         .filter(size(col("words")) >= n)
       val g = w.select(col("doc_id"), explode(expr(

@@ -56,9 +56,13 @@ object Extended66 {
   val queries: Map[String, Q] = Map(
     // ---- a30: exact Spearman rank correlation (quantity vs price) ----
     "a30_spearman" -> ((s, d) => {
-      val rows = t(s, d, "lineitem").select(
-        col("l_quantity").cast("long").as("q"),
-        round(col("l_extendedprice") * 100).cast("long").as("p"))
+      // fanout + checkpoint: the (q, p) projection feeds BOTH rank
+      // histograms and the decimal power-sum pass — materialize it once
+      // across the cores instead of three single-split scans
+      val rows = graft.operators.Par.fanOut(t(s, d, "lineitem").select(
+          col("l_quantity").cast("long").as("q"),
+          round(col("l_extendedprice") * 100).cast("long").as("p")))
+        .localCheckpoint()
       val rx = rankTable(rows, "q", "rx", width = 16.0)
       val ry = rankTable(rows, "p", "ry", width = 4096.0)
       val ranked = rows

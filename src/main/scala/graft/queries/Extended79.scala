@@ -38,7 +38,7 @@ object Extended79 {
 
   val queries: Map[String, Q] = Map(
     "t27_minhash_calibration" -> ((s, d) => {
-      val docs = t(s, d, "documents")
+      val docs = graft.operators.Par.fanOut(t(s, d, "documents"))
       val buckets = Dedup.lshBuckets(docs, "doc_id", "text")
       val ba = buckets.toDF("a", "band", "bucket")
       val bb = buckets.toDF("b", "band", "bucket")

@@ -217,8 +217,12 @@ object Spatial {
       yCol: String, epsCents: Long, minPts: Long,
       maxRingCandidates: Long = 2000000000L): DataFrame = {
     require(epsCents > 0, s"eps must be positive, got $epsCents")
-    val p = pts.select(col(idCol).as("pid"),
-        col(xCol).cast("long").as("xc"), col(yCol).cast("long").as("yc"))
+    // fanOut: the ring explode + eps refine below is the census's CPU
+    // center; a single-split scan would run it on one core (profiled:
+    // 1.8 s in one task at sf0.1). No-op when the scan already splits.
+    val p = graft.operators.Par.fanOut(
+        pts.select(col(idCol).as("pid"),
+          col(xCol).cast("long").as("xc"), col(yCol).cast("long").as("yc")))
       .withColumn("cx", expr(s"xc div $epsCents"))
       .withColumn("cy", expr(s"yc div $epsCents"))
     val cand = ringCandidateCount(p, "xc", "yc", epsCents)
@@ -239,8 +243,15 @@ object Spatial {
     // the ring join would re-execute for every downstream aggregate
     // (measured 13.2 s → ~2 s at sf0.1). At cluster scale this is the
     // standard DBSCAN adjacency materialization.
-    val nbr = ring.join(p.select(col("pid").as("bi"),
-          col("xc").as("bx"), col("yc").as("by"), col("cx"), col("cy")),
+    // pin the join stage's parallelism (REPARTITION_BY_NUM on both sides
+    // — AQE keeps it): the eps refine below is the census's CPU center
+    // and AQE's bytes-based coalescing would otherwise run it on one or
+    // two tasks (the candidate relation is small in BYTES, dense in CPU)
+    val par = p.sparkSession.sparkContext.defaultParallelism
+    val nbr = ring.repartition(par, col("cx"), col("cy"))
+      .join(p.select(col("pid").as("bi"),
+          col("xc").as("bx"), col("yc").as("by"), col("cx"), col("cy"))
+        .repartition(par, col("cx"), col("cy")),
         Seq("cx", "cy"))
       .filter((col("ax") - col("bx")) * (col("ax") - col("bx")) +
         (col("ay") - col("by")) * (col("ay") - col("by")) <=
