@@ -45,10 +45,8 @@ object Extended101 {
     "j28_rectangles" -> ((s, d) => {
       val li = t(s, d, "lineitem").filter(col("l_linenumber") <= 3)
         .select("l_orderkey", "l_partkey")
-      val edges = li.as("x").join(li.as("y"), Seq("l_orderkey"))
-        .filter(col("x.l_partkey") < col("y.l_partkey"))
-        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
-        .distinct()
+      // per-order aggregate + in-stage pair generator (see CoOrderPairs)
+      val edges = graft.operators.CoOrderPairs.undirected(li)
         .localCheckpoint() // feeds the count and both adjacency directions
       val nbr = edges.select(col("a").as("w"), col("b").as("u"))
         .unionAll(edges.select(col("b").as("w"), col("a").as("u")))

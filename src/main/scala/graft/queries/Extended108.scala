@@ -44,10 +44,8 @@ object Extended108 {
     "j30_local_bridges" -> ((s, d) => {
       val li = t(s, d, "lineitem").filter(col("l_linenumber") <= 3)
         .select("l_orderkey", "l_partkey")
-      val edges = li.as("x").join(li.as("y"), Seq("l_orderkey"))
-        .filter(col("x.l_partkey") < col("y.l_partkey"))
-        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
-        .distinct()
+      // per-order aggregate + in-stage pair generator (see CoOrderPairs)
+      val edges = graft.operators.CoOrderPairs.undirected(li)
         .localCheckpoint() // feeds the adjacency, the probe and the count
       // j9's edge-centric form: an edge is a local bridge iff its
       // endpoints' neighbor lists don't intersect — two BROADCAST

@@ -43,8 +43,12 @@ object Extended117 {
 
   val queries: Map[String, Q] = Map(
     "t35_textrank_keywords" -> ((s, d) => {
-      val words = graft.operators.Par.fanOut(
-          t(s, d, "documents").select(col("doc_id"), col("text")))
+      // NO fanOut here: the word posexplode is cheap per row relative to
+      // the round-robin shuffle of the full documents projection the r12
+      // fanOut paid for it (1.46 → 1.73 s medians shipped) — the doc-keyed
+      // lead window below repartitions by doc_id anyway, so the explode's
+      // scan parallelism never carries past the first exchange
+      val words = t(s, d, "documents")
         .select(col("doc_id"), posexplode(split(col("text"), " "))
           .as(Seq("pos", "w")))
         .filter(length(col("w")) > 0)

@@ -48,10 +48,10 @@ object Extended121 {
     "j31_densest_subgraph" -> ((s, d) => {
       val li = t(s, d, "lineitem").filter(col("l_linenumber") <= 5)
         .select("l_orderkey", "l_partkey")
-      var edges = li.as("x").join(li.as("y"), Seq("l_orderkey"))
-        .filter(col("x.l_partkey") < col("y.l_partkey"))
-        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
-        .distinct()
+      // per-order aggregate + in-stage pair generator instead of the
+      // broadcast self-join (see CoOrderPairs: identical pair set, no
+      // driver-side broadcast build)
+      var edges = graft.operators.CoOrderPairs.undirected(li)
         .localCheckpoint()
       // ≤Rounds-row trace of (round, n, m) — a bounded driver artifact
       val trace = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]

@@ -140,10 +140,10 @@ object Extended2 {
     "j9_triangles" -> ((s, d) => {
       val li = t(s, d, "lineitem").filter(col("l_linenumber") <= 5)
         .select("l_orderkey", "l_partkey")
-      val pairs = li.as("x").join(li.as("y"), Seq("l_orderkey"))
-        .filter(col("x.l_partkey") < col("y.l_partkey"))
-        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
-        .distinct()
+      // per-order aggregate + in-stage pair generator instead of the
+      // broadcast self-join (see CoOrderPairs: identical pair set, no
+      // driver-side broadcast build)
+      val pairs = graft.operators.CoOrderPairs.undirected(li)
         .localCheckpoint()
       val deg = pairs.select(col("a").as("n"))
         .unionAll(pairs.select(col("b").as("n")))

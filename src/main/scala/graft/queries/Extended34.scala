@@ -84,9 +84,15 @@ object Extended34 {
       // query's hottest stage (profiled: ONE 24 MB-write task under AQE's
       // bytes-based coalescing), and a checkpoint hash-partitioned by sh
       // with an EXPLICIT partition count (REPARTITION_BY_NUM — AQE keeps
-      // it) lets both self-join sides reuse this one exchange
+      // it) lets both self-join sides reuse this one exchange. The count
+      // is DATA-derived (rows / 128k, capped at 4×cores), not the core
+      // count — the r12 `defaultParallelism` pin made 32 kilobyte-sized
+      // tasks at sf0.1 (8c/32c anti-scaling, ratio 0.41) and would cap a
+      // corpus-scale shuffle at machine width; sh is checkpointed, so the
+      // sizing count is one cheap metadata-ish job, not a rescan
       val shr = sh.join(rare, "sh")
-        .repartition(s.sparkContext.defaultParallelism, col("sh"))
+        .repartition(graft.operators.Par.sizedPartitions(sh, sh.count(),
+          targetRowsPerTask = 131072L), col("sh"))
         .localCheckpoint()
       val inter = shr.as("x").join(shr.as("y"), Seq("sh"))
         .filter(col("x.doc_id") =!= col("y.doc_id"))
@@ -104,10 +110,17 @@ object Extended34 {
       // co-order part graph, both directions (j9's relation, undirected)
       val li = t(s, d, "lineitem").filter(col("l_linenumber") <= 3)
         .select("l_orderkey", "l_partkey")
-      val fwd = li.as("x").join(li.as("y"), Seq("l_orderkey"))
-        .filter(col("x.l_partkey") =!= col("y.l_partkey"))
-        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
-        .distinct()
+      // same co-order pair generator as j9/j31 (one per-order aggregate,
+      // no broadcast self-join — see CoOrderPairs); the walk needs BOTH
+      // directions, so the canonical a<b pairs are deduped once and
+      // mirrored — identical to the old x≠y join's distinct.
+      // localCheckpoint: fwd feeds the start selection plus one join per
+      // walk step (4 consumers), which otherwise re-derived the pair
+      // relation every step
+      val und = graft.operators.CoOrderPairs.undirected(li)
+        .localCheckpoint()
+      val fwd = und.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
       // 20 deterministic start nodes: lowest part keys that have edges
       val starts = fwd.select(col("src")).distinct()
         .orderBy("src").limit(20)

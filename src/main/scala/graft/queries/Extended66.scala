@@ -56,13 +56,15 @@ object Extended66 {
   val queries: Map[String, Q] = Map(
     // ---- a30: exact Spearman rank correlation (quantity vs price) ----
     "a30_spearman" -> ((s, d) => {
-      // fanout + checkpoint: the (q, p) projection feeds BOTH rank
-      // histograms and the decimal power-sum pass — materialize it once
-      // across the cores instead of three single-split scans
-      val rows = graft.operators.Par.fanOut(t(s, d, "lineitem").select(
-          col("l_quantity").cast("long").as("q"),
-          round(col("l_extendedprice") * 100).cast("long").as("p")))
-        .localCheckpoint()
+      // NO fanOut/checkpoint here: the r12 materialization (round-robin
+      // shuffle + localCheckpoint of the (q, p) projection) cost MORE than
+      // the triple parquet scan it saved — the scan is a cheap columnar
+      // read of two pruned columns, not CPU-dense per-row work (measured
+      // 2.17 → 2.50 s medians shipped, 3.88 s in the r13 baseline;
+      // reverting restores the three independent pruned scans)
+      val rows = t(s, d, "lineitem").select(
+        col("l_quantity").cast("long").as("q"),
+        round(col("l_extendedprice") * 100).cast("long").as("p"))
       val rx = rankTable(rows, "q", "rx", width = 16.0)
       val ry = rankTable(rows, "p", "ry", width = 4096.0)
       val ranked = rows

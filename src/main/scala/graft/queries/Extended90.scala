@@ -56,10 +56,8 @@ object Extended90 {
     "r13_degree_ccdf" -> ((s, d) => {
       val li = t(s, d, "lineitem").filter(col("l_linenumber") <= 5)
         .select("l_orderkey", "l_partkey")
-      val pairs = li.as("x").join(li.as("y"), Seq("l_orderkey"))
-        .filter(col("x.l_partkey") < col("y.l_partkey"))
-        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
-        .distinct()
+      // per-order aggregate + in-stage pair generator (see CoOrderPairs)
+      val pairs = graft.operators.CoOrderPairs.undirected(li)
       val deg = pairs.select(col("a").as("n"))
         .unionAll(pairs.select(col("b").as("n")))
         .groupBy("n").agg(count(lit(1)).as("deg"))

@@ -72,11 +72,17 @@ object Hits {
     // driver round-trip)
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
 
-    // h⁰ = 1 for every node with any outgoing edge
-    var hub: DataFrame = e.select(col("src")).distinct()
-      .select(col("src").as("node"), lit(1L).as("score"))
-    var auth: DataFrame = null
-    for (it <- 1 to iters) {
+    // round 1 folded algebraically: h⁰ ≡ 1 on every node with an outgoing
+    // edge, so a¹(d) = Σ_{(s,d) ∈ E} 1 = indeg(d) — the seed's
+    // distinct+join+sum collapses to ONE aggregate over the edge list
+    // (same BIGINT values, one edge shuffle and the seed distinct saved)
+    var auth: DataFrame = e.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("score"))
+    var hub: DataFrame = null
+    if (finalHub || iters > 1)
+      hub = e.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(sum("score").as("score"))
+    for (it <- 2 to iters) {
       // aᵗ(d) = Σ_{(s,d) ∈ E} hᵗ⁻¹(s)
       auth = e.join(hub.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node")).agg(sum("score").as("score"))

@@ -180,6 +180,19 @@ object Route {
     * non-negative; rows with null weight are dropped, as networkx treats
     * missing weights as infinite for routing purposes).
     */
+  /** Edges per GraphX partition when the graph's size is known. Every
+    * Pregel superstep runs one job whose task count is the edge/vertex
+    * partition count, so a graph far smaller than its source DataFrame's
+    * partitioning pays (partitions × supersteps) scheduling for kilobytes
+    * of state — profiled on the r8 nation chain: 24 supersteps × 5-task
+    * jobs at 50–65 ms each, ~85% scheduler/shuffle floor. Coalescing to
+    * ceil(|E| / EdgesPerGraphPartition) (never ABOVE the existing
+    * partitioning — big graphs keep their scan parallelism) makes each
+    * superstep a 1-task job on interactive-sized graphs and is a no-op at
+    * cluster scale.
+    */
+  private val EdgesPerGraphPartition = 1L << 20
+
   def fromPropertyGraph(g: PropertyGraph, weightCol: String): RoutingGraph = {
     val idOf = g.nodes.select(col("_n"), xxhash64(col("_n")).as("_vid"))
     val nN = idOf.select(countDistinct("_n"), countDistinct("_vid")).head
@@ -193,7 +206,17 @@ object Route {
       .select(xxhash64(col("_u")).as("src"), xxhash64(col("_v")).as("dst"),
         col(weightCol).cast("double").as("w"))
       .rdd.map(r => GXEdge(r.getLong(0), r.getLong(1), r.getDouble(2)))
-    RoutingGraph(GXGraph(vertices, edges), idOf)
+    // data-derived partitioning (g.size() is cached — every distributed
+    // dispatch gate has already paid its count); coalesce is narrow, so
+    // this costs no shuffle and never raises parallelism above the scan's
+    val parts = math.max(1L, math.min(edges.getNumPartitions.toLong,
+      (g.size() + EdgesPerGraphPartition - 1) / EdgesPerGraphPartition)).toInt
+    val (v2, e2) =
+      if (parts < edges.getNumPartitions)
+        (vertices.coalesce(math.min(parts, vertices.getNumPartitions)),
+          edges.coalesce(parts))
+      else (vertices, edges)
+    RoutingGraph(GXGraph(v2, e2), idOf)
   }
 
   /** Weighted single-source shortest paths via Pregel.

@@ -246,8 +246,15 @@ object Spatial {
     // pin the join stage's parallelism (REPARTITION_BY_NUM on both sides
     // — AQE keeps it): the eps refine below is the census's CPU center
     // and AQE's bytes-based coalescing would otherwise run it on one or
-    // two tasks (the candidate relation is small in BYTES, dense in CPU)
-    val par = p.sparkSession.sparkContext.defaultParallelism
+    // two tasks (the candidate relation is small in BYTES, dense in CPU).
+    // The width is DATA-derived from `cand` — the ring join's output-pair
+    // count, already paid for by the budget guard above — at ~500k
+    // candidate pairs per task, capped at 4×cores: the r12
+    // `defaultParallelism` pin made core-count kilobyte tasks at sf0.1
+    // (8c/32c anti-scaling, ratio 0.5) and would cap a dense-city census
+    // at machine width
+    val par = graft.operators.Par.sizedPartitions(p, cand,
+      targetRowsPerTask = 500000L)
     val nbr = ring.repartition(par, col("cx"), col("cy"))
       .join(p.select(col("pid").as("bi"),
           col("xc").as("bx"), col("yc").as("by"), col("cx"), col("cy"))
