@@ -125,6 +125,34 @@ object Multimodal {
       }(enc)
   }
 
+  private val framePairSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("content_a", BinaryType),
+    StructField("content_b", BinaryType)))
+
+  /** Both frames of a synthetic pair in ONE generator pass —
+    * (media_id, content_a, content_b) with content_x = PNG(seedX). The
+    * two-call form ([[synthesizeImagesSeeded]] twice + join on media_id)
+    * shuffled every PNG blob through BOTH exchanges of a sort-merge join
+    * just to re-pair rows that were born on the same input row — the
+    * guide-§8 pathology (heavy opaque payloads moved for a decision that
+    * needs only the key). Byte-identical frames, zero blob shuffles.
+    */
+  def synthesizeFramePairsSeeded(df: DataFrame, idCol: String,
+      seedA: org.apache.spark.sql.Column,
+      seedB: org.apache.spark.sql.Column): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(framePairSchema)
+    graft.operators.Par.fanOut(df.select(col(idCol).cast("long").as("media_id"),
+        seedA.cast("long").as("sa"), seedB.cast("long").as("sb")))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (_, _, pngA) = synthPng(r.getLong(1))
+          val (_, _, pngB) = synthPng(r.getLong(2))
+          Row(r.getLong(0), pngA, pngB)
+        }
+      }(enc)
+  }
+
   val aHashSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("width", IntegerType),
@@ -209,12 +237,15 @@ object Multimodal {
           else
             try ImageIO.read(new ByteArrayInputStream(b))
             catch { case _: java.io.IOException => null }
+        // positional access (the select above pins the order): name-based
+        // getAs needs a schema-carrying Row, which a generator-to-generator
+        // chain (synthesizeFramePairsSeeded → here) does not produce
         rows.map { r =>
-          val ia = dec(r.getAs[Array[Byte]]("content_a"))
-          val ib = dec(r.getAs[Array[Byte]]("content_b"))
+          val ia = dec(r.getAs[Array[Byte]](1))
+          val ib = dec(r.getAs[Array[Byte]](2))
           if (ia == null || ib == null || ia.getWidth != ib.getWidth ||
               ia.getHeight != ib.getHeight)
-            Row(r.getAs[Long]("media_id"), 0, 0, 0L, 0L)
+            Row(r.getLong(0), 0, 0, 0L, 0L)
           else {
             val w = ia.getWidth; val h = ia.getHeight
             var sad = 0L
@@ -230,7 +261,7 @@ object Multimodal {
               }
               y += 1
             }
-            Row(r.getAs[Long]("media_id"), w, h, sad, w.toLong * h * 3)
+            Row(r.getLong(0), w, h, sad, w.toLong * h * 3)
           }
         }
       }(enc)

@@ -50,13 +50,13 @@ object Extended113 {
     // ---- mm9: real-decode consecutive-frame SAD / scene change ----
     "mm9_frame_diff" -> ((s, d) => {
       val docs = t(s, d, "documents").select(col("doc_id"))
-      val fa = Multimodal.synthesizeImagesSeeded(docs, "doc_id", col("doc_id"))
-        .select(col("media_id"), col("content").as("content_a"))
       val seedB = when(pmod(col("doc_id"), lit(5)) === 0, col("doc_id"))
         .otherwise(col("doc_id") + 252L)
-      val fb = Multimodal.synthesizeImagesSeeded(docs, "doc_id", seedB)
-        .select(col("media_id"), col("content").as("content_b"))
-      Multimodal.frameDiffStats(fa.join(fb, "media_id"))
+      // both frames synthesized in ONE pass (no blob-carrying join; the
+      // former two-stream form shuffled every PNG through a sort-merge
+      // join on media_id just to re-pair same-row frames)
+      Multimodal.frameDiffStats(Multimodal.synthesizeFramePairsSeeded(
+          docs, "doc_id", col("doc_id"), seedB))
         .select(col("media_id"), col("width"), col("height"), col("sad"),
           round(col("sad").cast("double") / col("n_vals").cast("double"), 4)
             .as("mad"),

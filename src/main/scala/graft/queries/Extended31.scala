@@ -112,14 +112,20 @@ object Extended31 {
         .select(col("l_orderkey"), col("l_suppkey"),
           (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
             .as("late"))
+      // perOS feeds BOTH the per-order rollup and the culprit probe —
+      // materialize the fact-join+aggregate once instead of twice; the
+      // qualifying-order set is then small and selective (n_supp ≥ 2 with
+      // EXACTLY one late supplier), so the culprit join broadcasts it
+      // instead of sort-merging the full per-(order,supplier) relation
       val perOS = li.groupBy("l_orderkey", "l_suppkey")
         .agg(max(col("late")).as("supp_late"))
+        .localCheckpoint()
       val perO = perOS.groupBy("l_orderkey")
         .agg(count(lit(1)).as("n_supp"),
           count_if(col("supp_late")).as("n_late"))
         .filter(col("n_supp") >= 2 && col("n_late") === 1)
       val culprits = perOS.filter(col("supp_late"))
-        .join(perO.select("l_orderkey"), "l_orderkey")
+        .join(broadcast(perO.select("l_orderkey")), "l_orderkey")
       culprits.groupBy("l_suppkey").agg(count(lit(1)).as("numwait"))
         .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_name")),
           col("l_suppkey") === col("s_suppkey"))
